@@ -1,0 +1,455 @@
+"""Diffusion processes as pure functions + ``lax.scan`` trajectory loops.
+
+Covers the reference's GaussianDiffusion/SpacedDiffusion surface
+(reference: gaussian_diffusion.py:101-847, respace.py:62-127) redesigned for
+XLA: every step is a pure function of ``(x_t, t, rng)`` closed over a
+``Schedule`` of fp32 coefficient arrays; full trajectories are single jitted
+scans, not Python loops. Carries stay fp32 even when the UNet torso runs
+bf16, which keeps the DDPM-inversion replay identity exact (SURVEY.md §7.3).
+
+The model function contract everywhere is::
+
+    model_fn(x_nhwc, t_original) -> (out [B,H,W,2C], feat or None)
+
+with ``t_original`` already mapped through ``Schedule.timestep_map``
+(done internally here; callers pass respaced ``t``).
+
+TPU-first highlight: ``ddpm_inversion`` exploits the replay identity
+``x_{t-1} = mean_t + (x_{t-1} - mean_t)`` (reference: gaussian_diffusion.py:
+512-532) — the backward pass has *no sequential dependence*, so instead of
+``steps`` serial UNet calls we batch all steps through the UNet in parallel
+chunks. Identical math, minutes -> seconds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ishapediting_tpu.core.schedule import Schedule, extract
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Optional[jnp.ndarray]]]
+
+
+# ---------------------------------------------------------------------------
+# q process
+# ---------------------------------------------------------------------------
+
+
+def q_sample(sched: Schedule, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    """Sample q(x_t | x_0) (reference: gaussian_diffusion.py:188-206)."""
+    nd = x_start.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_start
+        + extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def q_posterior_mean_variance(sched: Schedule, x_start, x_t, t):
+    """q(x_{t-1} | x_t, x_0) (reference: gaussian_diffusion.py:208-230)."""
+    nd = x_t.ndim
+    mean = (
+        extract(sched.posterior_mean_coef1, t, nd) * x_start
+        + extract(sched.posterior_mean_coef2, t, nd) * x_t
+    )
+    var = extract(sched.posterior_variance, t, nd)
+    log_var = extract(sched.posterior_log_variance_clipped, t, nd)
+    return mean, var, log_var
+
+
+def predict_xstart_from_eps(sched: Schedule, x_t, t, eps):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_recipm1_alphas_cumprod, t, nd) * eps
+    )
+
+
+def predict_eps_from_xstart(sched: Schedule, x_t, t, pred_xstart):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t - pred_xstart
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+# ---------------------------------------------------------------------------
+# p process (one step)
+# ---------------------------------------------------------------------------
+
+
+class PMeanVar(NamedTuple):
+    mean: jnp.ndarray
+    variance: jnp.ndarray
+    log_variance: jnp.ndarray
+    pred_xstart: jnp.ndarray
+    eps: jnp.ndarray  # the model's epsilon prediction (mean half of output)
+    feat: Optional[jnp.ndarray]
+
+
+def p_mean_variance(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    clip_denoised: bool = True,
+    predict_xstart: bool = False,
+) -> PMeanVar:
+    """Model -> p(x_{t-1} | x_t) with LEARNED_RANGE variance interpolation
+    (reference: gaussian_diffusion.py:232-331). ``t`` is respaced, [B]."""
+    nd = x.ndim
+    t_orig = sched.timestep_map[t]
+    model_output, feat = model_fn(x, t_orig)
+    model_output = model_output.astype(jnp.float32)
+    c = x.shape[-1]
+    assert model_output.shape[-1] == 2 * c, (model_output.shape, c)
+    model_eps, model_var_values = jnp.split(model_output, 2, axis=-1)
+
+    min_log = extract(sched.posterior_log_variance_clipped, t, nd)
+    max_log = extract(sched.log_betas, t, nd)
+    frac = (model_var_values + 1.0) * 0.5
+    model_log_variance = frac * max_log + (1.0 - frac) * min_log
+    model_variance = jnp.exp(model_log_variance)
+
+    x32 = x.astype(jnp.float32)
+    if predict_xstart:
+        pred_xstart = model_eps
+    else:
+        pred_xstart = predict_xstart_from_eps(sched, x32, t, model_eps)
+    if clip_denoised:
+        pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+    mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x32, t)
+    return PMeanVar(mean, model_variance, model_log_variance, pred_xstart, model_eps, feat)
+
+
+def _nonzero_mask(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (ndim - 1))
+
+
+def p_sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    clip_denoised: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Ancestral DDPM step (reference: gaussian_diffusion.py:400-444)."""
+    out = p_mean_variance(sched, model_fn, x, t, clip_denoised=clip_denoised)
+    noise = jax.random.normal(rng, x.shape, jnp.float32)
+    sample = out.mean + _nonzero_mask(t, x.ndim) * jnp.exp(0.5 * out.log_variance) * noise
+    return {"sample": sample, "pred_xstart": out.pred_xstart}
+
+
+def p_sample_guidance(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    noise: Optional[jnp.ndarray] = None,
+    variance: Optional[jnp.ndarray] = None,
+    variance_noise: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = True,
+) -> Dict[str, Any]:
+    """The editing step primitive (reference: gaussian_diffusion.py:446-510).
+
+    Like ``p_sample`` but returns every quantity the editing engine consumes
+    (inter_feat, variance, mean, noise) and accepts overrides: a fixed
+    ``noise`` draw, a fixed ``variance`` (case-1 edit mode), or a fixed
+    ``variance_noise`` (exact replay: sample = mean + variance_noise).
+    """
+    out = p_mean_variance(sched, model_fn, x, t, clip_denoised=clip_denoised)
+    result: Dict[str, Any] = {
+        "mean": out.mean,
+        "variance": out.variance,
+        "pred_xstart": out.pred_xstart,
+        "inter_feat": out.feat,
+        "model_output": out.eps,
+    }
+    if variance_noise is not None:
+        result["sample"] = out.mean + variance_noise
+        return result
+    if noise is None:
+        assert rng is not None, "need rng when noise is not provided"
+        noise = jax.random.normal(rng, x.shape, jnp.float32)
+    var = out.variance if variance is None else variance
+    result["noise"] = noise
+    result["variance"] = var
+    result["sample"] = out.mean + _nonzero_mask(t, x.ndim) * jnp.sqrt(var) * noise
+    return result
+
+
+def ddim_sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    *,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+) -> Dict[str, Any]:
+    """DDIM step (reference: gaussian_diffusion.py:654-705)."""
+    out = p_mean_variance(sched, model_fn, x, t, clip_denoised=clip_denoised)
+    nd = x.ndim
+    x32 = x.astype(jnp.float32)
+    eps = predict_eps_from_xstart(sched, x32, t, out.pred_xstart)
+    alpha_bar = extract(sched.alphas_cumprod, t, nd)
+    alpha_bar_prev = extract(sched.alphas_cumprod_prev, t, nd)
+    sigma = (
+        eta
+        * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+        * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+    )
+    mean_pred = (
+        out.pred_xstart * jnp.sqrt(alpha_bar_prev)
+        + jnp.sqrt(1 - alpha_bar_prev - sigma ** 2) * eps
+    )
+    if eta != 0.0:
+        assert rng is not None
+        noise = jax.random.normal(rng, x.shape, jnp.float32)
+        sample = mean_pred + _nonzero_mask(t, nd) * sigma * noise
+    else:
+        sample = mean_pred
+    return {
+        "sample": sample,
+        "pred_xstart": out.pred_xstart,
+        "inter_feat": out.feat,
+        "model_output": out.eps,
+    }
+
+
+def ddim_reverse_sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    clip_denoised: bool = True,
+) -> Dict[str, Any]:
+    """Deterministic DDIM reverse-ODE step x_t -> x_{t+1}
+    (reference: gaussian_diffusion.py:718-761)."""
+    out = p_mean_variance(sched, model_fn, x, t, clip_denoised=clip_denoised)
+    nd = x.ndim
+    x32 = x.astype(jnp.float32)
+    eps = (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x32 - out.pred_xstart
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+    alpha_bar_next = extract(sched.alphas_cumprod_next, t, nd)
+    mean_pred = out.pred_xstart * jnp.sqrt(alpha_bar_next) + jnp.sqrt(
+        1 - alpha_bar_next
+    ) * eps
+    return {"sample": mean_pred, "pred_xstart": out.pred_xstart}
+
+
+# ---------------------------------------------------------------------------
+# Trajectory loops (lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _scan_steps(step_fn, x0_carry, t_hi: int, t_lo: int):
+    """Scan t = t_hi-1 ... t_lo (descending). step_fn(carry, t) -> (carry, y)."""
+    ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
+    return jax.lax.scan(step_fn, x0_carry, ts)
+
+
+def p_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Full ancestral sampling trajectory as one scan
+    (reference: gaussian_diffusion.py:534-652)."""
+
+    def step(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out = p_sample(sched, model_fn, x, tb, sub, clip_denoised=clip_denoised)
+        return (out["sample"], key), None
+
+    (x, _), _ = _scan_steps(step, (x_T.astype(jnp.float32), rng), sched.num_timesteps, 0)
+    return x
+
+
+def ddim_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Full DDIM trajectory as one scan (reference: gaussian_diffusion.py:763-847)."""
+
+    def step(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out = ddim_sample(
+            sched, model_fn, x, tb, sub, eta=eta, clip_denoised=clip_denoised
+        )
+        return (out["sample"], key), None
+
+    (x, _), _ = _scan_steps(step, (x_T.astype(jnp.float32), rng), sched.num_timesteps, 0)
+    return x
+
+
+def sample_loop_with_features(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    w_time: int,
+    feat_postprocess: Callable[[jnp.ndarray], jnp.ndarray],
+    clip_denoised: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Generation with guidance-feature caching (reference: drag_utils.py:252-280).
+
+    Runs T-1..w_time without feature capture, snapshots ``w = x_{w_time}``,
+    then runs w_time-1..0 capturing the post-processed intermediate feature at
+    every step. Returns dict(sample, w, features[w_time, ...]).
+    """
+
+    def step_plain(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out = p_sample_guidance(sched, model_fn, x, tb, sub, clip_denoised=clip_denoised)
+        return (out["sample"], key), None
+
+    def step_feat(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out = p_sample_guidance(sched, model_fn, x, tb, sub, clip_denoised=clip_denoised)
+        return (out["sample"], key), feat_postprocess(out["inter_feat"])
+
+    carry = (x_T.astype(jnp.float32), rng)
+    carry, _ = _scan_steps(step_plain, carry, sched.num_timesteps, w_time)
+    w = carry[0]
+    carry, feats = _scan_steps(step_feat, carry, w_time, 0)
+    return {"sample": carry[0], "w": w, "features": feats}
+
+
+def ddpm_inversion(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    steps: int,
+    feat_postprocess: Callable[[jnp.ndarray], jnp.ndarray],
+    clip_denoised: bool = True,
+    chunk: int = 8,
+) -> Dict[str, jnp.ndarray]:
+    """Edit-friendly DDPM inversion (reference: gaussian_diffusion.py:512-532).
+
+    Forward: stochastic chain x_t = sqrt(abar_t/abar_{t-1}) x_{t-1} + ...,
+    storing every intermediate. Backward: per step, compute the model mean at
+    x_{t+1} and record ``variance_noise_t = x_t - mean_t`` so that replaying
+    ``mean + variance_noise`` reproduces x_0 *exactly*.
+
+    Because the replay makes each backward input an already-known x_{t+1},
+    the backward UNet evaluations are independent across t: we batch them
+    through the model in ``chunk``-sized groups instead of a serial loop.
+
+    Returns (ordering matches the reference lists, index k <-> t = steps-1-k):
+      latent:          x_steps
+      features:        [steps, ...] post-processed inter_feat
+      variances:       [steps, ...]
+      variance_noise:  [steps, ...]
+      sample:          x_0 (exact by the replay identity)
+    """
+    assert x0.shape[0] == 1, "inversion operates on a single trajectory"
+    nd = x0.ndim
+
+    def fwd_step(x, t):
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        cof = extract(sched.alphas_cumprod, tb, nd) / extract(
+            sched.alphas_cumprod_prev, tb, nd
+        )
+        noise = jax.random.normal(jax.random.fold_in(rng, t), x.shape, jnp.float32)
+        x_next = jnp.sqrt(cof) * x + jnp.sqrt(1.0 - cof) * noise
+        return x_next, x_next
+
+    x_last, xs = jax.lax.scan(fwd_step, x0.astype(jnp.float32), jnp.arange(steps))
+    # x_inter[i] = x_i, i = 0..steps  (x_inter[0] = x0)
+    x_inter = jnp.concatenate([x0[None].astype(jnp.float32), xs], axis=0)
+
+    # Backward, batched: for t = 0..steps-1 evaluate the model at x_{t+1}.
+    def backward_batch(args):
+        x_in, tb = args  # [chunk, 1, ...], [chunk]
+        out = p_mean_variance(
+            sched, model_fn, x_in[:, 0], tb, clip_denoised=clip_denoised
+        )
+        return out.mean, out.variance, feat_postprocess(out.feat)
+
+    ts = jnp.arange(steps)  # ascending t
+    xin = x_inter[1:]  # [steps, 1, ...] = x_{t+1} for t ascending
+    pad = (-steps) % chunk
+    if pad:
+        xin = jnp.concatenate([xin, jnp.repeat(xin[-1:], pad, 0)], axis=0)
+        ts = jnp.concatenate([ts, jnp.full((pad,), steps - 1, ts.dtype)])
+    xin = xin.reshape(steps // chunk + (1 if pad else 0), chunk, *x0.shape)
+    ts = ts.reshape(-1, chunk)
+    means, variances, feats = jax.lax.map(backward_batch, (xin, ts))
+    means = means.reshape(-1, *x0.shape[1:])[:steps]
+    variances = variances.reshape(-1, *x0.shape[1:])[:steps]
+    feats = feats.reshape((-1,) + feats.shape[2:])[:steps]
+
+    variance_noise = x_inter[:steps, 0] - means  # x_t - mean_t, t ascending
+
+    # Reference list ordering is t descending (loop steps-1..0).
+    rev = slice(None, None, -1)
+    return {
+        "latent": x_inter[steps],
+        "features": feats[rev],
+        "variances": variances[rev][:, None],
+        "variance_noise": variance_noise[rev][:, None],
+        "sample": x_inter[0],
+    }
+
+
+def guided_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    guidance_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    t_start: Optional[int] = None,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Classifier-guided sampling: at every step the latent gradient from
+    ``guidance_fn(x_t, t, pred_xstart_closure)`` is applied as
+    ``x_{t-1} = sample + variance * grad`` (reference: drag_utils.py:443-463).
+
+    ``guidance_fn(x, t, rng) -> grad`` must itself differentiate through the
+    model (see edit/fit.py); this loop only wires the update rule.
+    """
+    t_start = sched.num_timesteps if t_start is None else t_start
+
+    def step(carry, t):
+        x, key = carry
+        key, s_noise, s_guid = jax.random.split(key, 3)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        grad, out = guidance_fn(x, tb, s_guid)
+        noise = jax.random.normal(s_noise, x.shape, jnp.float32)
+        sample = out["mean"] + _nonzero_mask(tb, x.ndim) * jnp.sqrt(out["variance"]) * noise
+        x_next = sample + out["variance"] * grad
+        return (x_next, key), None
+
+    (x, _), _ = _scan_steps(step, (x_T.astype(jnp.float32), rng), t_start, 0)
+    return x

@@ -1,0 +1,205 @@
+"""Noise schedules and timestep respacing, precomputed on host in float64.
+
+TPU-first design: all per-step coefficients are computed once in NumPy float64
+(reference computes them the same way: gaussian_diffusion.py:133-169) and then
+stored as a single ``[T, n_coef]``-style struct of fp32 device arrays that the
+jitted samplers index with a traced timestep. This replaces the reference's
+``_extract_into_tensor`` host->device gather (gaussian_diffusion.py:1035-1048)
+with a plain in-graph ``arr[t]`` lookup.
+
+Respacing follows SpacedDiffusion exactly (reference: respace.py:6-112):
+kept original steps are recorded in ``timestep_map`` and the model is always
+called with the *original* timestep index (respace.py:115-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def named_beta_schedule(name: str, num_steps: int) -> np.ndarray:
+    """Beta schedule library (reference: gaussian_diffusion.py:18-42)."""
+    if name == "linear":
+        scale = 1000 / num_steps
+        return np.linspace(
+            scale * 0.0001, scale * 0.02, num_steps, dtype=np.float64
+        )
+    if name == "cosine":
+        return betas_for_alpha_bar(
+            num_steps,
+            lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2,
+        )
+    raise NotImplementedError(f"unknown beta schedule: {name}")
+
+
+def betas_for_alpha_bar(num_steps: int, alpha_bar, max_beta: float = 0.999) -> np.ndarray:
+    """Discretize an alpha-bar function (reference: gaussian_diffusion.py:45-62)."""
+    betas = []
+    for i in range(num_steps):
+        t1 = i / num_steps
+        t2 = (i + 1) / num_steps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.array(betas, dtype=np.float64)
+
+
+def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]]):
+    """Select the subset of original steps to keep (reference: respace.py:6-59)."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired_count = int(section_counts[len("ddim"):])
+            for i in range(1, num_timesteps):
+                if len(range(0, num_timesteps, i)) == desired_count:
+                    return set(range(0, num_timesteps, i))
+            raise ValueError(
+                f"cannot create exactly {desired_count} steps with an integer stride"
+            )
+        if section_counts == "":
+            section_counts = [num_timesteps]
+        else:
+            section_counts = [int(x) for x in section_counts.split(",")]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start_idx = 0
+    all_steps = []
+    for i, section_count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < section_count:
+            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
+        if section_count <= 1:
+            frac_stride = 1.0
+        else:
+            frac_stride = (size - 1) / (section_count - 1)
+        cur_idx = 0.0
+        taken = []
+        for _ in range(section_count):
+            taken.append(start_idx + round(cur_idx))
+            cur_idx += frac_stride
+        all_steps += taken
+        start_idx += size
+    return set(all_steps)
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """All respaced per-step diffusion coefficients as fp32 jnp arrays.
+
+    Array index ``t`` runs over the *respaced* chain, 0..T-1.
+    ``timestep_map[t]`` is the original-chain index the model must be called
+    with (reference: respace.py:115-127).
+    """
+
+    num_timesteps: int
+    original_num_steps: int
+    timestep_map: jnp.ndarray  # [T] int32, original timestep per respaced step
+    betas: jnp.ndarray
+    log_betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alphas_cumprod_prev: jnp.ndarray
+    alphas_cumprod_next: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    log_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    posterior_variance: jnp.ndarray
+    posterior_log_variance_clipped: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+
+    def tree_flatten(self):  # pragma: no cover - convenience
+        raise NotImplementedError
+
+    @property
+    def shape(self):
+        return (self.num_timesteps,)
+
+
+def _schedule_from_betas(
+    betas: np.ndarray, timestep_map: np.ndarray, original_num_steps: int
+) -> Schedule:
+    """Derive every coefficient array in float64 then cast to fp32
+    (reference math: gaussian_diffusion.py:133-169)."""
+    betas = np.asarray(betas, dtype=np.float64)
+    assert betas.ndim == 1 and (betas > 0).all() and (betas <= 1).all()
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
+
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    posterior_log_variance_clipped = np.log(
+        np.append(posterior_variance[1], posterior_variance[1:])
+    )
+
+    def f32(x):
+        return jnp.asarray(np.asarray(x), dtype=jnp.float32)
+
+    return Schedule(
+        num_timesteps=int(betas.shape[0]),
+        original_num_steps=int(original_num_steps),
+        timestep_map=jnp.asarray(timestep_map, dtype=jnp.int32),
+        betas=f32(betas),
+        log_betas=f32(np.log(betas)),
+        alphas_cumprod=f32(alphas_cumprod),
+        alphas_cumprod_prev=f32(alphas_cumprod_prev),
+        alphas_cumprod_next=f32(alphas_cumprod_next),
+        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
+        posterior_variance=f32(posterior_variance),
+        posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
+        posterior_mean_coef1=f32(
+            betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        ),
+        posterior_mean_coef2=f32(
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+        ),
+    )
+
+
+def make_schedule(
+    base_steps: int = 1000,
+    noise_schedule: str = "linear",
+    timestep_respacing: str = "",
+) -> Schedule:
+    """Build a (possibly respaced) schedule.
+
+    Respacing recomputes betas over the kept steps so that the respaced chain
+    has the same cumulative alpha at each kept step (reference:
+    respace.py:71-85).
+    """
+    base_betas = named_beta_schedule(noise_schedule, base_steps)
+    if timestep_respacing in ("", str(base_steps)) and not str(
+        timestep_respacing
+    ).startswith("ddim"):
+        keep = set(range(base_steps))
+    else:
+        keep = space_timesteps(base_steps, timestep_respacing)
+
+    base_alphas_cumprod = np.cumprod(1.0 - base_betas)
+    last_alpha_cumprod = 1.0
+    new_betas = []
+    timestep_map = []
+    for i, alpha_cumprod in enumerate(base_alphas_cumprod):
+        if i in keep:
+            new_betas.append(1 - alpha_cumprod / last_alpha_cumprod)
+            last_alpha_cumprod = alpha_cumprod
+            timestep_map.append(i)
+    return _schedule_from_betas(
+        np.array(new_betas), np.array(timestep_map, dtype=np.int32), base_steps
+    )
+
+
+def extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-batch coefficients and reshape to broadcast over ``ndim``
+    trailing data dims. ``t`` is a [B] int array. Replaces
+    ``_extract_into_tensor`` (reference: gaussian_diffusion.py:1035-1048)."""
+    out = arr[t].astype(jnp.float32)
+    return out.reshape(out.shape + (1,) * (ndim - out.ndim))

@@ -1,0 +1,432 @@
+"""ADM UNet as pure functions over a parameter pytree, NHWC, bf16 torso.
+
+Architecture semantics match the reference UNetModel (reference:
+unet.py:396-671 and factory script_util.py:132-187) so the released NFD
+PyTorch EMA checkpoints convert losslessly (see io/torch_convert.py), but the
+implementation is TPU-first:
+
+- pure functions + a parameter pytree (no module framework) so the whole
+  sampler — model included — jits into one XLA program and works under
+  ``lax.scan``/``pjit`` without ceremony;
+- NHWC activations and HWIO conv kernels (XLA's native TPU conv layout);
+- bf16 torso compute with fp32 GroupNorm statistics, fp32 time embedding and
+  fp32 output head (mirrors the reference's fp16-torso policy,
+  unet.py:618-632, nn.py:16-18);
+- the intermediate feature tap is a first-class traced output: ``feat_layer``
+  selects an output block, and the activation after it is returned alongside
+  the model output (reference: unet.py:662-671) — no Python-side hooks.
+
+Parameter keys use the torch state_dict naming ("input_blocks.3.0.in_layers.2"
+…) so conversion is a mechanical per-tensor transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ishapediting_tpu.config import UNetConfig
+from ishapediting_tpu.ops.attention import qkv_attention
+from ishapediting_tpu.ops.nn import (
+    avg_pool_2x,
+    conv2d,
+    group_norm,
+    linear,
+    nearest_upsample_2x,
+    silu,
+    timestep_embedding,
+)
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# Static layout
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Layer:
+    """One sublayer inside a block (reference TimestepEmbedSequential)."""
+
+    kind: str  # 'conv' | 'res' | 'attn' | 'downsample' | 'upsample'
+    in_ch: int
+    out_ch: int
+    updown: str = "none"  # for 'res': 'none' | 'up' | 'down'
+    heads: int = 0  # for 'attn'
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout:
+    input_blocks: Tuple[Tuple[Layer, ...], ...]
+    middle_block: Tuple[Layer, ...]
+    output_blocks: Tuple[Tuple[Layer, ...], ...]
+    out_ch_final: int  # channels entering the output head
+
+
+def _num_heads(cfg: UNetConfig, ch: int, upsample: bool) -> int:
+    if cfg.num_head_channels == -1:
+        if upsample and cfg.num_heads_upsample != -1:
+            return cfg.num_heads_upsample
+        return cfg.num_heads
+    assert ch % cfg.num_head_channels == 0, (ch, cfg.num_head_channels)
+    return ch // cfg.num_head_channels
+
+
+def build_layout(cfg: UNetConfig) -> Layout:
+    """Replicates the constructor wiring of the reference UNet
+    (unet.py:480-616) as a static description."""
+    mc = cfg.model_channels
+    ch = int(cfg.channel_mult[0] * mc)
+    input_blocks: List[Tuple[Layer, ...]] = [
+        (Layer("conv", cfg.in_channels, ch),)
+    ]
+    input_block_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            layers = [Layer("res", ch, int(mult * mc))]
+            ch = int(mult * mc)
+            if ds in cfg.attention_ds:
+                layers.append(Layer("attn", ch, ch, heads=_num_heads(cfg, ch, False)))
+            input_blocks.append(tuple(layers))
+            input_block_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            out_ch = ch
+            if cfg.resblock_updown:
+                input_blocks.append((Layer("res", ch, out_ch, updown="down"),))
+            else:
+                input_blocks.append((Layer("downsample", ch, out_ch),))
+            ch = out_ch
+            input_block_chans.append(ch)
+            ds *= 2
+
+    middle = (
+        Layer("res", ch, ch),
+        Layer("attn", ch, ch, heads=_num_heads(cfg, ch, False)),
+        Layer("res", ch, ch),
+    )
+
+    output_blocks: List[Tuple[Layer, ...]] = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_block_chans.pop()
+            layers = [Layer("res", ch + ich, int(mc * mult))]
+            ch = int(mc * mult)
+            if ds in cfg.attention_ds:
+                layers.append(Layer("attn", ch, ch, heads=_num_heads(cfg, ch, True)))
+            if level and i == cfg.num_res_blocks:
+                if cfg.resblock_updown:
+                    layers.append(Layer("res", ch, ch, updown="up"))
+                else:
+                    layers.append(Layer("upsample", ch, ch))
+                ds //= 2
+            output_blocks.append(tuple(layers))
+
+    return Layout(
+        input_blocks=tuple(input_blocks),
+        middle_block=middle,
+        output_blocks=tuple(output_blocks),
+        out_ch_final=ch,
+    )
+
+
+def feat_layer_shape(cfg: UNetConfig, feat_layer: int) -> Tuple[int, int]:
+    """(channels, spatial) of the activation after output_blocks[feat_layer]."""
+    layout = build_layout(cfg)
+    ds = 2 ** (len(cfg.channel_mult) - 1)
+    size = cfg.image_size // ds
+    for i, block in enumerate(layout.output_blocks):
+        ch = block[0].out_ch
+        if any(l.kind == "res" and l.updown == "up" or l.kind == "upsample" for l in block):
+            size *= 2
+        if i == feat_layer:
+            return ch, size
+    raise ValueError(f"feat_layer {feat_layer} out of range")
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch-default-like fan-in uniform; zero modules zeroed)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _init_conv(key, kh, kw, cin, cout, zero=False):
+    if zero:
+        return {
+            "w": jnp.zeros((kh, kw, cin, cout), jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * cin
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": _uniform(k1, (kh, kw, cin, cout), math.sqrt(3.0) * bound),
+        "b": _uniform(k2, (cout,), bound),
+    }
+
+
+def _init_linear(key, cin, cout, zero=False):
+    if zero:
+        return {
+            "w": jnp.zeros((cin, cout), jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    return {
+        "w": _uniform(k1, (cin, cout), math.sqrt(3.0) * bound),
+        "b": _uniform(k2, (cout,), bound),
+    }
+
+
+def _init_gn(ch):
+    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+
+
+def _init_layer(key, prefix: str, layer: Layer, emb_ch: int, params: Params):
+    keys = jax.random.split(key, 8)
+    if layer.kind == "conv":
+        params[prefix] = _init_conv(keys[0], 3, 3, layer.in_ch, layer.out_ch)
+    elif layer.kind == "res":
+        params[f"{prefix}.in_layers.0"] = _init_gn(layer.in_ch)
+        params[f"{prefix}.in_layers.2"] = _init_conv(
+            keys[0], 3, 3, layer.in_ch, layer.out_ch
+        )
+        emb_out = 2 * layer.out_ch  # scale-shift norm
+        params[f"{prefix}.emb_layers.1"] = _init_linear(keys[1], emb_ch, emb_out)
+        params[f"{prefix}.out_layers.0"] = _init_gn(layer.out_ch)
+        params[f"{prefix}.out_layers.3"] = _init_conv(
+            keys[2], 3, 3, layer.out_ch, layer.out_ch, zero=True
+        )
+        if layer.in_ch != layer.out_ch:
+            params[f"{prefix}.skip_connection"] = _init_conv(
+                keys[3], 1, 1, layer.in_ch, layer.out_ch
+            )
+    elif layer.kind == "attn":
+        ch = layer.in_ch
+        params[f"{prefix}.norm"] = _init_gn(ch)
+        params[f"{prefix}.qkv"] = _init_linear(keys[0], ch, 3 * ch)
+        params[f"{prefix}.proj_out"] = _init_linear(keys[1], ch, ch, zero=True)
+    elif layer.kind == "downsample":
+        params[f"{prefix}.op"] = _init_conv(keys[0], 3, 3, layer.in_ch, layer.out_ch)
+    elif layer.kind == "upsample":
+        params[f"{prefix}.conv"] = _init_conv(keys[0], 3, 3, layer.in_ch, layer.out_ch)
+    else:  # pragma: no cover
+        raise ValueError(layer.kind)
+
+
+def init_unet_params(rng: jax.Array, cfg: UNetConfig) -> Params:
+    layout = build_layout(cfg)
+    emb_ch = cfg.model_channels * 4
+    params: Params = {}
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    params["time_embed.0"] = _init_linear(k1, cfg.model_channels, emb_ch)
+    params["time_embed.2"] = _init_linear(k2, emb_ch, emb_ch)
+    if cfg.num_classes is not None:
+        params["label_emb"] = {
+            "w": jax.random.normal(k3, (cfg.num_classes, emb_ch), jnp.float32)
+        }
+
+    def init_blocks(section: str, blocks):
+        nonlocal rng
+        for i, block in enumerate(blocks):
+            for j, layer in enumerate(block):
+                rng, sub = jax.random.split(rng)
+                _init_layer(sub, f"{section}.{i}.{j}", layer, emb_ch, params)
+
+    init_blocks("input_blocks", layout.input_blocks)
+    for j, layer in enumerate(layout.middle_block):
+        rng, sub = jax.random.split(rng)
+        _init_layer(sub, f"middle_block.{j}", layer, emb_ch, params)
+    init_blocks("output_blocks", layout.output_blocks)
+
+    rng, sub = jax.random.split(rng)
+    params["out.0"] = _init_gn(layout.out_ch_final)
+    params["out.2"] = _init_conv(
+        sub, 3, 3, layout.out_ch_final, cfg.out_channels, zero=True
+    )
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(a.shape)) for d in params.values() for a in d.values())
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _apply_res(
+    p: Params,
+    prefix: str,
+    layer: Layer,
+    h: jnp.ndarray,
+    emb: jnp.ndarray,
+    dropout_rng: Optional[jax.Array],
+    dropout: float,
+) -> jnp.ndarray:
+    """ResBlock with scale-shift GroupNorm FiLM and in-block up/down resample
+    (reference: unet.py:236-256)."""
+    x = h
+    gn1 = p[f"{prefix}.in_layers.0"]
+    hh = silu(group_norm(h, gn1["scale"], gn1["bias"]))
+    if layer.updown == "up":
+        hh = nearest_upsample_2x(hh)
+        x = nearest_upsample_2x(x)
+    elif layer.updown == "down":
+        hh = avg_pool_2x(hh)
+        x = avg_pool_2x(x)
+    c1 = p[f"{prefix}.in_layers.2"]
+    hh = conv2d(hh, c1["w"], c1["b"], padding=1)
+
+    el = p[f"{prefix}.emb_layers.1"]
+    emb_out = linear(silu(emb), el["w"], el["b"]).astype(hh.dtype)
+    scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+
+    gn2 = p[f"{prefix}.out_layers.0"]
+    hh = group_norm(hh, gn2["scale"], gn2["bias"]) * (1 + scale) + shift
+    hh = silu(hh)
+    if dropout_rng is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, hh.shape)
+        hh = jnp.where(keep, hh / (1.0 - dropout), 0.0).astype(hh.dtype)
+    c2 = p[f"{prefix}.out_layers.3"]
+    hh = conv2d(hh, c2["w"], c2["b"], padding=1)
+
+    if layer.in_ch != layer.out_ch:
+        sk = p[f"{prefix}.skip_connection"]
+        x = conv2d(x, sk["w"], sk["b"], padding=0)
+    return x + hh
+
+
+def _apply_attn(p: Params, prefix: str, layer: Layer, h: jnp.ndarray) -> jnp.ndarray:
+    """Self-attention block with residual (reference: unet.py:296-305)."""
+    n, hh_, ww_, c = h.shape
+    gn = p[f"{prefix}.norm"]
+    normed = group_norm(h, gn["scale"], gn["bias"]).reshape(n, hh_ * ww_, c)
+    qkv_p = p[f"{prefix}.qkv"]
+    qkv = linear(normed, qkv_p["w"], qkv_p["b"])
+    att = qkv_attention(qkv, layer.heads)
+    proj = p[f"{prefix}.proj_out"]
+    out = linear(att, proj["w"], proj["b"])
+    return h + out.reshape(n, hh_, ww_, c)
+
+
+def _apply_layer(
+    p: Params,
+    prefix: str,
+    layer: Layer,
+    h: jnp.ndarray,
+    emb: jnp.ndarray,
+    dropout_rng,
+    dropout: float,
+) -> jnp.ndarray:
+    if layer.kind == "conv":
+        c = p[prefix]
+        return conv2d(h, c["w"], c["b"], padding=1)
+    if layer.kind == "res":
+        return _apply_res(p, prefix, layer, h, emb, dropout_rng, dropout)
+    if layer.kind == "attn":
+        return _apply_attn(p, prefix, layer, h)
+    if layer.kind == "downsample":
+        c = p[f"{prefix}.op"]
+        return conv2d(h, c["w"], c["b"], stride=2, padding=1)
+    if layer.kind == "upsample":
+        c = p[f"{prefix}.conv"]
+        return conv2d(nearest_upsample_2x(h), c["w"], c["b"], padding=1)
+    raise ValueError(layer.kind)  # pragma: no cover
+
+
+def unet_apply(
+    cfg: UNetConfig,
+    params: Params,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    *,
+    feat_layer: int = -1,
+    y: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Forward pass.
+
+    :param x: [N, H, W, C_in] latent, any float dtype (output matches it).
+    :param timesteps: [N] *original-chain* timesteps (the schedule's
+        ``timestep_map`` must already be applied; reference: respace.py:122-127).
+    :param feat_layer: if >= 0, also return the activation after
+        ``output_blocks[feat_layer]`` in fp32 (reference: unet.py:662-671).
+    :param remat: rematerialize each block in the backward pass
+        (``jax.checkpoint``) — used by the guidance/edit paths that
+        differentiate through the full UNet.
+    :returns: (out [N,H,W,C_out] in x.dtype, feat or None).
+    """
+    layout = build_layout(cfg)
+    if feat_layer >= len(layout.output_blocks):
+        raise ValueError(
+            f"feat_layer {feat_layer} out of range "
+            f"(model has {len(layout.output_blocks)} output blocks)"
+        )
+    compute_dtype = cfg.jnp_compute_dtype
+
+    t0 = params["time_embed.0"]
+    t2 = params["time_embed.2"]
+    emb = timestep_embedding(timesteps, cfg.model_channels)
+    emb = linear(silu(linear(emb, t0["w"], t0["b"])), t2["w"], t2["b"])
+    if cfg.num_classes is not None:
+        assert y is not None, "class-conditional model requires y"
+        emb = emb + params["label_emb"]["w"][y]
+
+    dropout = cfg.dropout if train else 0.0
+    n_drop_sites = (
+        sum(len(b) for b in layout.input_blocks)
+        + len(layout.middle_block)
+        + sum(len(b) for b in layout.output_blocks)
+    )
+    if dropout > 0.0 and dropout_rng is not None:
+        drop_rngs = list(jax.random.split(dropout_rng, n_drop_sites))
+    else:
+        drop_rngs = [None] * n_drop_sites
+    site = 0
+
+    def run_layer(prefix, layer, h, emb, dr):
+        fn = lambda hh, ee: _apply_layer(params, prefix, layer, hh, ee, dr, dropout)
+        if remat:
+            fn = jax.checkpoint(fn)
+        return fn(h, emb)
+
+    h = x.astype(compute_dtype)
+    hs = []
+    for i, block in enumerate(layout.input_blocks):
+        for j, layer in enumerate(block):
+            h = run_layer(f"input_blocks.{i}.{j}", layer, h, emb, drop_rngs[site])
+            site += 1
+        hs.append(h)
+    for j, layer in enumerate(layout.middle_block):
+        h = run_layer(f"middle_block.{j}", layer, h, emb, drop_rngs[site])
+        site += 1
+
+    inter_feat = None
+    for i, block in enumerate(layout.output_blocks):
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        for j, layer in enumerate(block):
+            h = run_layer(f"output_blocks.{i}.{j}", layer, h, emb, drop_rngs[site])
+            site += 1
+        if i == feat_layer:
+            inter_feat = h.astype(jnp.float32)
+
+    h = h.astype(x.dtype)
+    gn = params["out.0"]
+    h = silu(group_norm(h, gn["scale"], gn["bias"]))
+    c = params["out.2"]
+    out = conv2d(h, c["w"], c["b"], padding=1)
+    return out.astype(x.dtype), inter_feat

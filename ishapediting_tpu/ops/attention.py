@@ -1,0 +1,47 @@
+"""ADM-style QKV self-attention for small token counts (<= 1024).
+
+Semantics follow QKVAttentionLegacy (reference: unet.py:328-354): qkv comes
+from a 1x1 projection with channel layout [heads * 3 * head_dim] (heads
+outermost, q/k/v inner), attention logits use the double-sqrt scaling
+``(q/ch^0.25) @ (k/ch^0.25)`` and the softmax runs in fp32.
+
+The largest sequence in the published model is 32^2 = 1024 tokens at 512
+channels (SURVEY.md §5.7), so dense attention fits in VMEM comfortably and
+XLA fuses this well; a Pallas fused variant is in ops/pallas_kernels.py and
+is selected automatically for supported shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Apply attention. ``qkv``: [N, T, H*3*ch] (legacy channel order:
+    per-head q,k,v contiguous). Returns [N, T, H*ch]."""
+    n, t, width = qkv.shape
+    assert width % (3 * num_heads) == 0, (width, num_heads)
+    ch = width // (3 * num_heads)
+    qkv = qkv.reshape(n, t, num_heads, 3 * ch)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # [N, T, H, ch] each
+
+    scale = 1.0 / (ch ** 0.25)
+    logits = jnp.einsum(
+        "nthc,nshc->nhts",
+        q * scale,
+        k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    weights = jnp.asarray(
+        jnp.exp(
+            logits - jnp.max(logits, axis=-1, keepdims=True)
+        )
+    )
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "nhts,nshc->nthc",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(qkv.dtype)
+    return out.reshape(n, t, num_heads * ch)
