@@ -1,0 +1,333 @@
+"""Lightweight triangle-mesh container + host-side mesh ops.
+
+Replaces the reference's Open3D mesh surface (open3d.geometry.TriangleMesh)
+for everything the pipeline needs: IO (obj/ply/off/stl), normalization into
+[-1,1]^3 (reference: main.py:421-439, drag_utils.py:418-428), area-uniform
+point sampling (mesh.sample_points_uniformly), simple Laplacian smoothing
+(filter_smooth_simple), degenerate-triangle removal, and normals.
+
+Pure NumPy; nothing here touches the accelerator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TriMesh:
+    vertices: np.ndarray  # [V, 3] float64
+    triangles: np.ndarray  # [F, 3] int64
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64).reshape(-1, 3)
+        self.triangles = np.asarray(self.triangles, dtype=np.int64).reshape(-1, 3)
+
+    # -- bounds / transforms ------------------------------------------------
+
+    def copy(self) -> "TriMesh":
+        return TriMesh(self.vertices.copy(), self.triangles.copy())
+
+    @property
+    def min_bound(self) -> np.ndarray:
+        return self.vertices.min(axis=0)
+
+    @property
+    def max_bound(self) -> np.ndarray:
+        return self.vertices.max(axis=0)
+
+    @property
+    def center(self) -> np.ndarray:
+        return self.vertices.mean(axis=0)
+
+    def translate(self, offset: np.ndarray) -> "TriMesh":
+        self.vertices = self.vertices + np.asarray(offset).reshape(1, 3)
+        return self
+
+    def scale(self, factor: float, center: Optional[np.ndarray] = None) -> "TriMesh":
+        c = np.zeros(3) if center is None else np.asarray(center).reshape(1, 3)
+        self.vertices = (self.vertices - c) * factor + c
+        return self
+
+    def normalize_unit_cube(self, eps: float = 1e-2) -> "TriMesh":
+        """Scale/translate into [-1,1]^3 exactly as the reference GUI does on
+        load (main.py:425-430, drag_utils.py:418-426): only if out of bounds;
+        center at the vertex-mean; scale only if the extent exceeds 2."""
+        mn, mx = self.min_bound, self.max_bound
+        extent = mx - mn
+        if np.any(mn > 1) or np.any(mn < -1) or np.any(mx > 1) or np.any(mx < -1):
+            self.translate(-self.center)
+            if extent.max() > 2:
+                self.scale(2.0 / (extent.max() + eps))
+        return self
+
+    # -- derived quantities -------------------------------------------------
+
+    def triangle_areas(self) -> np.ndarray:
+        v = self.vertices
+        t = self.triangles
+        cross = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+        return 0.5 * np.linalg.norm(cross, axis=1)
+
+    def triangle_normals(self) -> np.ndarray:
+        v = self.vertices
+        t = self.triangles
+        n = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        return n / np.maximum(norm, 1e-20)
+
+    def vertex_normals(self) -> np.ndarray:
+        fn = self.triangle_normals() * self.triangle_areas()[:, None]
+        vn = np.zeros_like(self.vertices)
+        for i in range(3):
+            np.add.at(vn, self.triangles[:, i], fn)
+        norm = np.linalg.norm(vn, axis=1, keepdims=True)
+        return vn / np.maximum(norm, 1e-20)
+
+    def surface_area(self) -> float:
+        return float(self.triangle_areas().sum())
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample_points_uniformly(
+        self, number_of_points: int, seed: Optional[int] = None
+    ) -> np.ndarray:
+        """Area-weighted uniform surface sampling -> [N, 3]
+        (Open3D sample_points_uniformly equivalent)."""
+        rng = np.random.default_rng(seed)
+        areas = self.triangle_areas()
+        probs = areas / areas.sum()
+        idx = rng.choice(len(probs), size=number_of_points, p=probs)
+        u = rng.random(number_of_points)
+        v = rng.random(number_of_points)
+        flip = u + v > 1
+        u[flip] = 1 - u[flip]
+        v[flip] = 1 - v[flip]
+        t = self.triangles[idx]
+        a = self.vertices[t[:, 0]]
+        b = self.vertices[t[:, 1]]
+        c = self.vertices[t[:, 2]]
+        return a + u[:, None] * (b - a) + v[:, None] * (c - a)
+
+    # -- cleanup / smoothing ------------------------------------------------
+
+    def remove_degenerate_triangles(self) -> "TriMesh":
+        t = self.triangles
+        keep = (t[:, 0] != t[:, 1]) & (t[:, 1] != t[:, 2]) & (t[:, 0] != t[:, 2])
+        self.triangles = t[keep]
+        return self
+
+    def filter_smooth_simple(self, number_of_iterations: int = 1) -> "TriMesh":
+        """Simple Laplacian smoothing: v' = (v + sum(neighbors)) / (1 + deg)
+        (Open3D filter_smooth_simple semantics; reference uses 10 iterations
+        after marching cubes, drag_utils.py:300)."""
+        v = self.vertices.copy()
+        t = self.triangles
+        edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], axis=0)
+        # undirected unique edges
+        edges = np.sort(edges, axis=1)
+        edges = np.unique(edges, axis=0)
+        i, j = edges[:, 0], edges[:, 1]
+        deg = np.zeros(len(v))
+        np.add.at(deg, i, 1)
+        np.add.at(deg, j, 1)
+        for _ in range(number_of_iterations):
+            acc = v.copy()
+            np.add.at(acc, i, v[j])
+            np.add.at(acc, j, v[i])
+            v = acc / (1.0 + deg)[:, None]
+        return TriMesh(v, t.copy())
+
+    # -- IO -----------------------------------------------------------------
+
+    def write(self, path: str) -> None:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            _write_obj(self, path)
+        elif ext == ".ply":
+            _write_ply(self, path)
+        elif ext == ".off":
+            _write_off(self, path)
+        elif ext == ".stl":
+            _write_stl(self, path)
+        else:
+            raise ValueError(f"unsupported mesh format: {ext}")
+
+    @staticmethod
+    def read(path: str) -> "TriMesh":
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            return _read_obj(path)
+        if ext == ".ply":
+            return _read_ply(path)
+        if ext == ".off":
+            return _read_off(path)
+        if ext == ".stl":
+            return _read_stl(path)
+        raise ValueError(f"unsupported mesh format: {ext}")
+
+
+# ---------------------------------------------------------------------------
+# IO backends (ascii obj/off, ascii+binary ply/stl read, ascii write)
+# ---------------------------------------------------------------------------
+
+
+def _write_obj(mesh: TriMesh, path: str) -> None:
+    with open(path, "w") as f:
+        for v in mesh.vertices:
+            f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        for t in mesh.triangles:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+def _read_obj(path: str) -> TriMesh:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(x) for x in parts[1:4]])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    idx.append(int(tok.split("/")[0]) - 1)
+                for k in range(1, len(idx) - 1):  # fan-triangulate polygons
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return TriMesh(np.array(verts), np.array(faces))
+
+
+def _write_off(mesh: TriMesh, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(mesh.vertices)} {len(mesh.triangles)} 0\n")
+        for v in mesh.vertices:
+            f.write(f"{v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        for t in mesh.triangles:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _read_off(path: str) -> TriMesh:
+    with open(path) as f:
+        tokens = f.read().split()
+    assert tokens[0] in ("OFF", "COFF"), "not an OFF file"
+    nv, nf = int(tokens[1]), int(tokens[2])
+    pos = 4
+    verts = np.array(tokens[pos : pos + 3 * nv], dtype=np.float64).reshape(nv, 3)
+    pos += 3 * nv
+    faces = []
+    for _ in range(nf):
+        cnt = int(tokens[pos])
+        idx = [int(x) for x in tokens[pos + 1 : pos + 1 + cnt]]
+        pos += 1 + cnt
+        for k in range(1, cnt - 1):
+            faces.append([idx[0], idx[k], idx[k + 1]])
+    return TriMesh(verts, np.array(faces))
+
+
+def _write_ply(mesh: TriMesh, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(mesh.vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(mesh.triangles)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in mesh.vertices:
+            f.write(f"{v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        for t in mesh.triangles:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _read_ply(path: str) -> TriMesh:
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        nv = int(next(l.split()[2] for l in header if l.startswith("element vertex")))
+        nf = int(next(l.split()[2] for l in header if l.startswith("element face")))
+        vprops = []
+        in_vertex = False
+        for l in header:
+            if l.startswith("element vertex"):
+                in_vertex = True
+            elif l.startswith("element"):
+                in_vertex = False
+            elif in_vertex and l.startswith("property"):
+                vprops.append(tuple(l.split()[1:]))
+        if fmt == "ascii":
+            tokens = f.read().decode("ascii").split()
+            stride = len(vprops)
+            vdata = np.array(tokens[: stride * nv], dtype=np.float64).reshape(nv, stride)
+            names = [p[1] for p in vprops]
+            verts = vdata[:, [names.index("x"), names.index("y"), names.index("z")]]
+            pos = stride * nv
+            faces = []
+            for _ in range(nf):
+                cnt = int(tokens[pos])
+                idx = [int(x) for x in tokens[pos + 1 : pos + 1 + cnt]]
+                pos += 1 + cnt
+                for k in range(1, cnt - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+            return TriMesh(verts, np.array(faces))
+        # binary little/big endian
+        endian = "<" if "little" in fmt else ">"
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "ushort": "u2",
+        }
+        vdtype = np.dtype([(p[1], endian + type_map[p[0]]) for p in vprops])
+        vdata = np.frombuffer(f.read(vdtype.itemsize * nv), dtype=vdtype)
+        verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1).astype(np.float64)
+        faces = []
+        for _ in range(nf):
+            cnt = np.frombuffer(f.read(1), dtype=endian + "u1")[0]
+            idx = np.frombuffer(f.read(4 * cnt), dtype=endian + "i4")
+            for k in range(1, cnt - 1):
+                faces.append([idx[0], idx[k], idx[k + 1]])
+        return TriMesh(verts, np.array(faces))
+
+
+def _write_stl(mesh: TriMesh, path: str) -> None:
+    normals = mesh.triangle_normals()
+    with open(path, "w") as f:
+        f.write("solid mesh\n")
+        for t, n in zip(mesh.triangles, normals):
+            f.write(f"facet normal {n[0]:.8g} {n[1]:.8g} {n[2]:.8g}\n outer loop\n")
+            for vi in t:
+                v = mesh.vertices[vi]
+                f.write(f"  vertex {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+            f.write(" endloop\nendfacet\n")
+        f.write("endsolid mesh\n")
+
+
+def _read_stl(path: str) -> TriMesh:
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid":
+            text = f.read().decode("ascii", errors="ignore")
+            coords = []
+            for line in text.splitlines():
+                line = line.strip()
+                if line.startswith("vertex"):
+                    coords.append([float(x) for x in line.split()[1:4]])
+            verts = np.array(coords).reshape(-1, 3)
+        else:
+            f.seek(80)
+            n = int(np.frombuffer(f.read(4), dtype="<u4")[0])
+            data = np.frombuffer(f.read(n * 50), dtype=np.uint8).reshape(n, 50)
+            tri = data[:, 12:48].copy().view("<f4").reshape(n, 3, 3)
+            verts = tri.reshape(-1, 3).astype(np.float64)
+    # weld identical vertices
+    uniq, inverse = np.unique(verts.round(8), axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+    return TriMesh(uniq, faces)

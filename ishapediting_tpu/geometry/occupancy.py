@@ -1,0 +1,131 @@
+"""Point-in-mesh occupancy + signed distance (host side).
+
+Replaces Open3D's RaycastingScene (reference: meshProcess.py:7-14) for
+occupancy labeling of sample points during real-shape fitting
+(reference: drag_utils.py:431-437) and for the IoU metrics.
+
+Primary path: native C++ raycaster (native/raycast.cpp) — vertical-ray
+parity test with a uniform 2D grid accelerator. Fallback: the same algorithm
+vectorized in NumPy (bucketed), fine up to a few hundred thousand
+point-triangle pairs per bucket.
+
+Signed distance = unsigned point-to-triangle distance with the parity sign,
+matching `compute_signed_distance` semantics (negative inside).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ishapediting_tpu.geometry.mesh import TriMesh
+
+_EPS_SHIFT = np.array([1.3e-7, 2.9e-7, 0.0])  # break edge/vertex degeneracy
+
+
+def points_occupancy(mesh: TriMesh, points: np.ndarray) -> np.ndarray:
+    """1.0 where the point is inside the (watertight) mesh, else 0.0.
+
+    Matches ``RaycastingScene.compute_occupancy`` semantics
+    (reference: meshProcess.py:14)."""
+    try:
+        from ishapediting_tpu.native import native_points_occupancy
+
+        return native_points_occupancy(mesh, np.asarray(points, np.float64))
+    except Exception:
+        return _numpy_occupancy(mesh, np.asarray(points, np.float64))
+
+
+def _numpy_occupancy(mesh: TriMesh, points: np.ndarray) -> np.ndarray:
+    """Vertical (+z) ray-parity test, bucketed on a 2D grid over (x, y)."""
+    v = mesh.vertices
+    tris = mesh.triangles
+    a, b, c = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
+    pts = points + _EPS_SHIFT  # avoid exact edge hits
+
+    # 2D bucket grid sized to triangle density.
+    gmin = v[:, :2].min(axis=0) - 1e-9
+    gmax = v[:, :2].max(axis=0) + 1e-9
+    n_cells = max(1, int(np.sqrt(max(len(tris), 1) / 4)))
+    n_cells = min(n_cells, 256)
+    cell = (gmax - gmin) / n_cells
+
+    def cell_of(xy):
+        return np.clip(((xy - gmin) / cell).astype(np.int64), 0, n_cells - 1)
+
+    tri_lo = cell_of(np.minimum(np.minimum(a[:, :2], b[:, :2]), c[:, :2]))
+    tri_hi = cell_of(np.maximum(np.maximum(a[:, :2], b[:, :2]), c[:, :2]))
+
+    # triangle -> cells map (triangles can span several cells)
+    spans = (tri_hi[:, 0] - tri_lo[:, 0] + 1) * (tri_hi[:, 1] - tri_lo[:, 1] + 1)
+    tri_ids = np.repeat(np.arange(len(tris)), spans)
+    cell_ids = np.empty(spans.sum(), np.int64)
+    pos = 0
+    for ti in range(len(tris)):  # triangles usually span 1-2 cells; cheap loop
+        (x0, y0), (x1, y1) = tri_lo[ti], tri_hi[ti]
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        n = xs.size
+        cell_ids[pos : pos + n] = xs.reshape(-1) * n_cells + ys.reshape(-1)
+        pos += n
+    order = np.argsort(cell_ids, kind="stable")
+    cell_ids = cell_ids[order]
+    tri_ids = tri_ids[order]
+    starts = np.searchsorted(cell_ids, np.arange(n_cells * n_cells))
+    ends = np.searchsorted(cell_ids, np.arange(n_cells * n_cells), side="right")
+
+    pc = cell_of(pts[:, :2])
+    pcell = pc[:, 0] * n_cells + pc[:, 1]
+    out = np.zeros(len(pts), np.float64)
+    porder = np.argsort(pcell, kind="stable")
+    pcell_sorted = pcell[porder]
+    bounds = np.searchsorted(pcell_sorted, np.arange(n_cells * n_cells + 1))
+    for cid in np.unique(pcell_sorted):
+        p_sel = porder[bounds[cid] : bounds[cid + 1]]
+        t_sel = tri_ids[starts[cid] : ends[cid]]
+        if len(t_sel) == 0:
+            continue
+        P = pts[p_sel]  # [m, 3]
+        A, B, C = a[t_sel], b[t_sel], c[t_sel]  # [k, 3]
+        # barycentric in xy for all (point, tri) pairs
+        d = _vertical_hits(P, A, B, C)  # [m] parity counts
+        out[p_sel] = d % 2
+    return out
+
+
+def _vertical_hits(P: np.ndarray, A: np.ndarray, B: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Count upward-ray crossings for each point against all triangles."""
+    # 2D edge functions, pairwise [m, k]
+    ax, ay = A[:, 0][None], A[:, 1][None]
+    bx, by = B[:, 0][None], B[:, 1][None]
+    cx, cy = C[:, 0][None], C[:, 1][None]
+    px, py = P[:, 0][:, None], P[:, 1][:, None]
+    d = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)  # [1, k]
+    safe = np.where(np.abs(d) < 1e-30, 1.0, d)
+    w0 = ((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / safe
+    w1 = ((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / safe
+    w2 = 1.0 - w0 - w1
+    inside2d = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (np.abs(d) >= 1e-30)
+    z_hit = w0 * A[:, 2][None] + w1 * B[:, 2][None] + w2 * C[:, 2][None]
+    above = z_hit > P[:, 2][:, None]
+    return (inside2d & above).sum(axis=1)
+
+
+def signed_distance(
+    mesh: TriMesh, points: np.ndarray, samples: int = 200_000, seed: int = 0
+) -> np.ndarray:
+    """Approximate signed distance: unsigned distance to a dense surface
+    sampling (cKDTree) with the occupancy parity sign (negative inside).
+
+    The reference uses Open3D's exact signed distance (meshProcess.py:12);
+    for the metrics that consume it (IoU inside-tests, reference
+    meshProcess.py:72-77) only the sign matters, which is exact here. The
+    magnitude is accurate to the sampling density.
+    """
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(points, np.float64)
+    surf = mesh.sample_points_uniformly(samples, seed=seed)
+    dist, _ = cKDTree(surf).query(pts)
+    occ = points_occupancy(mesh, pts)
+    return np.where(occ > 0.5, -dist, dist)
