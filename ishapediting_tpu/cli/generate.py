@@ -1,0 +1,137 @@
+"""Batch triplane generation CLI (reference: generate.py + image_sample.py).
+
+    python -m ishapediting_tpu.cli.generate --model_dir models/chairs \
+        --num_samples 8 --num_steps 256 --save_dir samples/chairs_samples
+
+Outputs match the reference contract: ``<save_dir>/triplanes/{i}.npy``
+([96,128,128] float, physical scale — unnormalized) and
+``<save_dir>/objects/{i}.obj`` meshes, with ddpm/decode wall-clock prints
+(reference: generate.py:72-98). Sampling shards the batch over every visible
+device (parallel/sampling.py); use ``--random_init`` to run without
+pretrained checkpoints (smoke tests / benchmarking).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Generate triplane samples and decode them to meshes"
+    )
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="category dir (ddpm ckpt + decoder + statistics)")
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights (no checkpoints needed)")
+    p.add_argument("--preset", type=str, default="chairs",
+                   help="chairs|cars|planes|tiny (tiny = CPU smoke config)")
+    p.add_argument("--num_samples", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_steps", type=int, default=256)
+    p.add_argument("--use_ddim", action="store_true")
+    p.add_argument("--shape_resolution", type=int, default=256)
+    p.add_argument("--save_dir", type=str, default="samples/out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_decode", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ishapediting_tpu.config import PipelineConfig, preset
+    from ishapediting_tpu.core.schedule import make_schedule
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.edit.fit import latent_to_planes
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+    from ishapediting_tpu.models.unet import unet_apply
+    from ishapediting_tpu.ops.triplane import decode_grid
+    from ishapediting_tpu.parallel.mesh import make_mesh
+    from ishapediting_tpu.parallel.sampling import sample_sharded
+
+    config = preset(args.preset, args.num_steps)
+    if args.use_ddim:
+        config = config.with_ddim(args.num_steps)
+    else:
+        config = config.with_steps(args.num_steps)
+
+    if args.model_dir:
+        engine = DragEngine.from_model_dir(args.model_dir, config=config)
+    elif args.random_init:
+        engine = DragEngine(config, seed=args.seed)
+    else:
+        raise SystemExit("need --model_dir or --random_init")
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    os.makedirs(f"{args.save_dir}/triplanes", exist_ok=True)
+
+    n_dev = len(jax.devices())
+    usable = max(1, min(n_dev, args.batch_size))
+    while args.batch_size % usable:
+        usable -= 1
+    mesh = make_mesh(usable)
+    model_fn = engine._model_fn(feat=False)
+
+    t1 = time.time()
+    samples = []
+    remaining = args.num_samples
+    batch_idx = 0
+    while remaining > 0:
+        n = min(args.batch_size, remaining) if remaining >= usable else remaining
+        n = max(n - n % usable, usable) if n >= usable else n
+        m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
+        out = sample_sharded(
+            engine.sched,
+            model_fn,
+            m,
+            batch_size=n,
+            latent_shape=config.latent_shape,
+            rng=jax.random.PRNGKey(args.seed + batch_idx),
+            use_ddim=args.use_ddim,
+            clip_denoised=config.diffusion.clip_denoised,
+        )
+        samples.append(np.asarray(out))
+        remaining -= n
+        batch_idx += 1
+    samples = np.concatenate(samples, axis=0)[: args.num_samples]
+    t2 = time.time()
+    print("ddpm time:", round(t2 - t1, 4))
+
+    # unnormalize to physical triplanes, save NCHW like the reference
+    phys = samples * engine.stats.half_range + engine.stats.middle
+    for idx in range(phys.shape[0]):
+        np.save(
+            f"{args.save_dir}/triplanes/{idx}.npy",
+            phys[idx].transpose(2, 0, 1).astype(np.float32),
+        )
+        print(f"saving to {args.save_dir}/triplanes/{idx}.npy...")
+
+    if not args.skip_decode:
+        os.makedirs(f"{args.save_dir}/objects", exist_ok=True)
+        for idx in range(samples.shape[0]):
+            print(f"Decoding triplane {idx}...")
+            planes = latent_to_planes(
+                jnp.asarray(samples[idx][None]),
+                engine.half_range,
+                engine.middle,
+            )
+            grid = np.asarray(
+                decode_grid(
+                    engine.decoder_params, planes, res=args.shape_resolution
+                )
+            )
+            mesh_out = grid_to_mesh(grid, to_unit=True)
+            mesh_out.write(f"{args.save_dir}/objects/{idx}.obj")
+        print("Done!")
+        print("decode time:", round(time.time() - t2, 4))
+
+
+if __name__ == "__main__":
+    main()

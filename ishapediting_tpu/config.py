@@ -179,7 +179,27 @@ class PipelineConfig:
 
 # Per-category presets. All three released categories share the architecture;
 # they differ only in checkpoints/statistics (reference: generate.py:19-48).
+# "tiny" is a miniature same-topology pipeline for smoke tests / CPU runs.
 def preset(category: str = "chairs", num_steps: int = 200) -> PipelineConfig:
+    if category == "tiny":
+        return PipelineConfig(
+            unet=UNetConfig(
+                image_size=16,
+                in_channels=6,
+                model_channels=16,
+                out_channels=12,
+                num_res_blocks=1,
+                attention_ds=(2,),
+                channel_mult=(1, 2),
+                num_head_channels=8,
+                dropout=0.0,
+                compute_dtype="float32",
+            ),
+            diffusion=DiffusionConfig(base_steps=100, timestep_respacing="10"),
+            edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=32, r1=2),
+            fit=FitConfig(points_size=4000, batch_points=1000, opt_epochs=2),
+            plane_channels=2,
+        ).with_steps(min(num_steps, 10))
     if category not in ("chairs", "cars", "planes"):
         raise ValueError(f"unknown category: {category}")
     return PipelineConfig().with_steps(num_steps)

@@ -1,0 +1,138 @@
+"""Diffusion training losses (reference: losses.py:12-77,
+gaussian_diffusion.py:849-957).
+
+The reference ships the loss machinery without a training script; we provide
+both so the framework can train/fine-tune triplane DDPMs on TPU
+(train/trainer.py). Everything is fp32: these are scalar-ish reductions, not
+the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ishapediting_tpu.core.diffusion import (
+    ModelFn,
+    q_posterior_mean_variance,
+    q_sample,
+)
+from ishapediting_tpu.core.schedule import Schedule, extract
+
+
+def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2) -> jnp.ndarray:
+    """KL(N1 || N2) in nats (reference: losses.py:12-39)."""
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + jnp.square(mean1 - mean2) * jnp.exp(-logvar2)
+    )
+
+
+def approx_standard_normal_cdf(x):
+    """(reference: losses.py:42-47)"""
+    return 0.5 * (
+        1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi) * (x + 0.044715 * x ** 3))
+    )
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales) -> jnp.ndarray:
+    """Log-likelihood of a discretized Gaussian on [-1,1] data quantized to
+    255 bins (reference: losses.py:50-77)."""
+    centered_x = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered_x + 1.0 / 255.0)
+    cdf_plus = approx_standard_normal_cdf(plus_in)
+    min_in = inv_stdv * (centered_x - 1.0 / 255.0)
+    cdf_min = approx_standard_normal_cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, min=1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, min=1e-12))
+    cdf_delta = cdf_plus - cdf_min
+    log_probs = jnp.where(
+        x < -0.999,
+        log_cdf_plus,
+        jnp.where(
+            x > 0.999,
+            log_one_minus_cdf_min,
+            jnp.log(jnp.clip(cdf_delta, min=1e-12)),
+        ),
+    )
+    return log_probs
+
+
+def vb_terms_bpd(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_start: jnp.ndarray,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    frozen_out: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Per-step variational-bound term in bits
+    (reference: gaussian_diffusion.py:849-882)."""
+    from ishapediting_tpu.core.diffusion import p_mean_variance
+
+    true_mean, _, true_log_var = q_posterior_mean_variance(sched, x_start, x_t, t)
+    if frozen_out is not None:
+        fn = lambda x, t_orig: (frozen_out, None)
+    else:
+        fn = model_fn
+    out = p_mean_variance(sched, fn, x_t, t, clip_denoised=clip_denoised)
+    kl = mean_flat(normal_kl(true_mean, true_log_var, out.mean, out.log_variance))
+    kl = kl / jnp.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(
+        x_start, means=out.mean, log_scales=0.5 * out.log_variance
+    )
+    decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return {"output": output, "pred_xstart": out.pred_xstart}
+
+
+def training_losses(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    vb_weight_rescaled: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Hybrid eps-MSE + rescaled-VLB loss for LEARNED_RANGE models
+    (reference: gaussian_diffusion.py:884-957, RESCALED_MSE branch). Returns
+    per-example terms dict with 'loss', 'mse', 'vb'."""
+    noise = jax.random.normal(rng, x_start.shape, jnp.float32)
+    x_t = q_sample(sched, x_start, t, noise)
+    model_output, _ = model_fn(x_t, sched.timestep_map[t])
+    model_output = model_output.astype(jnp.float32)
+    c = x_start.shape[-1]
+    model_eps, model_var_values = jnp.split(model_output, 2, axis=-1)
+
+    # variance learned via VLB with frozen mean (detached eps)
+    frozen = jnp.concatenate(
+        [jax.lax.stop_gradient(model_eps), model_var_values], axis=-1
+    )
+    vb = vb_terms_bpd(
+        sched, model_fn, x_start, x_t, t, frozen_out=frozen, clip_denoised=False
+    )["output"]
+    if vb_weight_rescaled:
+        vb = vb * sched.num_timesteps / 1000.0
+
+    mse = mean_flat(jnp.square(noise - model_eps))
+    return {"loss": mse + vb, "mse": mse, "vb": vb}
+
+
+def update_ema(ema_params, params, rate: float = 0.9999):
+    """EMA of parameters (reference: nn.py:54-64)."""
+    return jax.tree.map(
+        lambda e, p: e * rate + p * (1.0 - rate), ema_params, params
+    )

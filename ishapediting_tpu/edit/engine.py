@@ -1,0 +1,519 @@
+"""DragEngine — the headless product layer (reference DragStuff,
+drag_utils.py:174-583).
+
+Owns the model/decoder/statistics for one category plus per-session latent
+state, and exposes the full editing workflow:
+
+    engine = DragEngine.from_model_dir("models/chairs")   # torch ckpts
+    engine.update_latent_params(seed=7)                   # generate + cache
+    mesh = engine.mesh                                    # TriMesh
+    engine.drag_edit(sources, targets, scale=1200, cof=0.4,
+                     progress_callback=print)
+    engine.fit_real_shape(mesh_path="chair.obj", path=workdir)  # + inversion
+
+Everything device-side is jit-compiled once and cached on the instance; the
+GUI-facing loops (drag, fit) run in compiled chunks so Python sees progress
+ticks and a stop flag between chunks without ever retracing
+(reference runs per-step Python: drag_utils.py:336-399).
+
+State kept for parity with the reference: ``w``/``w0`` (the x_{w_time}
+latent), per-step guidance features, per-step variances + variance_noise from
+inversion, ``mesh``/``mesh0`` snapshots, and the ``tri_feat.npy`` /
+``mesh_recon.obj`` cache contract (drag_utils.py:403-409,466-470).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import threading
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ishapediting_tpu.config import PipelineConfig
+from ishapediting_tpu.core.diffusion import (
+    ddpm_inversion,
+    p_sample_guidance,
+    sample_loop_with_features,
+)
+from ishapediting_tpu.core.schedule import Schedule, make_schedule
+from ishapediting_tpu.edit.drag import (
+    DragProblem,
+    build_drag_problem,
+    make_drag_step,
+)
+from ishapediting_tpu.edit.features import regroup_features
+from ishapediting_tpu.edit.fit import (
+    fit_direct,
+    fit_guided,
+    latent_to_planes,
+    sample_training_points,
+)
+from ishapediting_tpu.geometry.marching import grid_to_mesh
+from ishapediting_tpu.geometry.mesh import TriMesh
+from ishapediting_tpu.io.model_dir import (
+    TriplaneStats,
+    discover_model_dir,
+    load_stats,
+)
+from ishapediting_tpu.models.unet import (
+    feat_layer_shape,
+    init_unet_params,
+    unet_apply,
+)
+from ishapediting_tpu.ops.triplane import decode_grid, init_decoder_params
+
+
+def latent_to_nchw(latent_nhwc: np.ndarray) -> np.ndarray:
+    """Internal [1,H,W,C] -> reference [1,C,H,W] (tri_feat.npy contract)."""
+    return np.ascontiguousarray(np.asarray(latent_nhwc).transpose(0, 3, 1, 2))
+
+
+def latent_from_nchw(latent_nchw: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(latent_nchw).transpose(0, 2, 3, 1))
+
+
+class DragEngine:
+    def __init__(
+        self,
+        config: Optional[PipelineConfig] = None,
+        unet_params: Optional[Dict] = None,
+        decoder_params: Optional[Dict] = None,
+        stats: Optional[TriplaneStats] = None,
+        seed: int = 0,
+        remat: bool = True,
+    ):
+        self.config = config or PipelineConfig()
+        rng = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(rng)
+        self.unet_params = (
+            unet_params
+            if unet_params is not None
+            else init_unet_params(k1, self.config.unet)
+        )
+        self.decoder_params = (
+            decoder_params
+            if decoder_params is not None
+            else init_decoder_params(k2, in_channels=self.config.plane_channels)
+        )
+        self.stats = stats or TriplaneStats.identity(
+            self.config.num_planes * self.config.plane_channels
+        )
+        self.sched: Schedule = make_schedule(
+            self.config.diffusion.base_steps,
+            self.config.diffusion.noise_schedule,
+            self.config.diffusion.timestep_respacing,
+        )
+        self.remat = remat
+
+        # session state (reference: drag_utils.py:193-208)
+        self.latent_code: Optional[np.ndarray] = None
+        self.w: Optional[jnp.ndarray] = None
+        self.w0: Optional[jnp.ndarray] = None
+        self.feature_guidance: Optional[jnp.ndarray] = None  # [w_time,3,s,s,C]
+        self.variances: Optional[jnp.ndarray] = None
+        self.variance_noise: Optional[jnp.ndarray] = None
+        self.mesh: Optional[TriMesh] = None
+        self.mesh0: Optional[TriMesh] = None
+        self.train_flag = True  # cooperative stop for drag_edit
+        self._lock = threading.Lock()
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # Construction from reference-format assets
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_model_dir(
+        cls, main_path: str, config: Optional[PipelineConfig] = None, **kw
+    ) -> "DragEngine":
+        """Load a reference-layout category directory
+        (reference: drag_utils.py:213-249)."""
+        from ishapediting_tpu.io.torch_convert import (
+            load_torch_checkpoint,
+            load_torch_decoder,
+        )
+
+        info = discover_model_dir(main_path)
+        if info.unet_ckpt is None or info.decoder_ckpt is None:
+            raise FileNotFoundError(
+                f"no ddpm*/ema* checkpoint or decoder .pt under {main_path}"
+            )
+        unet_params = load_torch_checkpoint(info.unet_ckpt)
+        decoder_params = load_torch_decoder(info.decoder_ckpt)
+        stats = load_stats(info.stats_dir) if info.stats_dir else None
+        return cls(
+            config=config,
+            unet_params=unet_params,
+            decoder_params=decoder_params,
+            stats=stats,
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    # Model functions + jit cache
+    # ------------------------------------------------------------------
+
+    def _model_fn(self, feat: bool, remat: bool = False):
+        cfg = self.config.unet
+        feat_layer = self.config.edit.feat_layer if feat else -1
+        params = self.unet_params
+
+        def fn(x, t_orig):
+            return unet_apply(
+                cfg, params, x, t_orig, feat_layer=feat_layer, remat=remat
+            )
+
+        return fn
+
+    def _jit(self, key, builder):
+        with self._lock:
+            if key not in self._jit_cache:
+                self._jit_cache[key] = builder()
+            return self._jit_cache[key]
+
+    @property
+    def half_range(self) -> jnp.ndarray:
+        return jnp.asarray(self.stats.half_range)
+
+    @property
+    def middle(self) -> jnp.ndarray:
+        return jnp.asarray(self.stats.middle)
+
+    # ------------------------------------------------------------------
+    # Generation (reference: update_latent_params, drag_utils.py:252-280)
+    # ------------------------------------------------------------------
+
+    def update_latent_params(
+        self, latent: Optional[np.ndarray] = None, seed: int = 0
+    ) -> np.ndarray:
+        """Sample a shape from noise (or a given x_T), caching ``w`` and the
+        per-step guidance features; returns the final normalized latent."""
+        shape = (1,) + self.config.latent_shape
+        if latent is None:
+            latent = jax.random.normal(jax.random.PRNGKey(seed), shape)
+        else:
+            latent = jnp.asarray(latent, jnp.float32).reshape(shape)
+        self.latent_code = np.asarray(latent)
+
+        w_time = self.config.edit.w_time
+        fn = self._jit(
+            ("sample_feat", w_time),
+            lambda: jax.jit(
+                lambda x, r: sample_loop_with_features(
+                    self.sched,
+                    self._model_fn(feat=True),
+                    x,
+                    r,
+                    w_time=w_time,
+                    feat_postprocess=lambda f: regroup_features(f)[0],
+                    clip_denoised=self.config.diffusion.clip_denoised,
+                )
+            ),
+        )
+        out = fn(latent, jax.random.PRNGKey(seed + 1))
+        self.w = out["w"]
+        self.w0 = self.w
+        self.feature_guidance = out["features"]
+        self.variances = None
+        self.variance_noise = None
+        x0 = out["sample"]
+        self.mesh0 = self.get_mesh(x0)
+        self.mesh = copy.deepcopy(self.mesh0)
+        return np.asarray(x0)
+
+    # ------------------------------------------------------------------
+    # Latent -> mesh (reference: get_mesh, drag_utils.py:282-300)
+    # ------------------------------------------------------------------
+
+    def decode_latent_grid(self, latent: jnp.ndarray) -> np.ndarray:
+        """Normalized latent -> dense occupancy logits [res,res,res]."""
+        res = self.config.edit.shape_resolution
+        planes = latent_to_planes(
+            jnp.asarray(latent, jnp.float32).reshape((1,) + self.config.latent_shape),
+            self.half_range,
+            self.middle,
+        )
+        return np.asarray(decode_grid(self.decoder_params, planes, res=res))
+
+    def get_mesh(
+        self, latent: Optional[jnp.ndarray] = None, t: int = 0, smooth: int = 10
+    ) -> TriMesh:
+        """Finish any remaining ``t`` sampling steps, decode the occupancy
+        grid, extract + smooth the mesh."""
+        if latent is None:
+            latent = jax.random.normal(
+                jax.random.PRNGKey(0), (1,) + self.config.latent_shape
+            )
+        latent = jnp.asarray(latent, jnp.float32).reshape(
+            (1,) + self.config.latent_shape
+        )
+        if t > 0:
+            fn = self._jit(
+                ("finish_steps",),
+                lambda: jax.jit(
+                    self._finish_steps_fn, static_argnames=("t_start",)
+                ),
+            )
+            latent = fn(latent, jax.random.PRNGKey(1234), t_start=t)
+        grid = self.decode_latent_grid(latent)
+        mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
+        if smooth > 0:
+            mesh = mesh.filter_smooth_simple(smooth)
+        return mesh
+
+    def _finish_steps_fn(self, latent, rng, *, t_start):
+        model_fn = self._model_fn(feat=False)
+
+        def body(carry, t):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            tb = jnp.full((1,), t, jnp.int32)
+            out = p_sample_guidance(
+                self.sched, model_fn, x, tb, sub,
+                clip_denoised=self.config.diffusion.clip_denoised,
+            )
+            return (out["sample"], key), None
+
+        (x, _), _ = jax.lax.scan(
+            body, (latent, rng), jnp.arange(t_start - 1, -1, -1)
+        )
+        return x
+
+    # ------------------------------------------------------------------
+    # Drag editing (reference: training, drag_utils.py:302-399)
+    # ------------------------------------------------------------------
+
+    def drag_edit(
+        self,
+        sources: np.ndarray,
+        targets: np.ndarray,
+        scale: float = 600.0,
+        cof: float = 0.2,
+        seed: int = 0,
+        chunk: int = 10,
+        progress_callback: Optional[Callable[[float], None]] = None,
+    ) -> TriMesh:
+        """Run the guided edit from ``w``; returns (and caches) the edited
+        mesh. ``scale``/``cof`` are traced scalars — changing them does not
+        recompile. Cooperative stop: set ``engine.train_flag = False``; the
+        remaining steps run unguided exactly like the reference
+        (drag_utils.py:337-339,399)."""
+        if self.w is None or self.feature_guidance is None:
+            raise RuntimeError(
+                "no cached latent: call update_latent_params() or "
+                "fit_real_shape() first"
+            )
+        w_time = self.config.edit.w_time
+        edit_cfg = self.config.edit
+        feat_width = self.feature_guidance.shape[-2]
+        problem = build_drag_problem(
+            sources,
+            targets,
+            r1=edit_cfg.r1,
+            voxel_size=edit_cfg.voxel_size,
+            feat_width=feat_width,
+        )
+        self.train_flag = True
+
+        n_handles = problem.patch_grid.shape[1]
+        step_fn = self._jit(
+            ("drag_chunk", chunk, n_handles, edit_cfg.loss_type),
+            lambda: jax.jit(
+                partial(self._drag_chunk_fn, loss_type=edit_cfg.loss_type)
+            ),
+        )
+
+        img = self.w
+        rng = jax.random.PRNGKey(seed)
+        t = w_time
+        stop_time = 0
+        while t > 0:
+            n = min(chunk, t)
+            ts = np.arange(t - 1, t - 1 - n, -1)
+            feats = jax.lax.dynamic_slice_in_dim(
+                self.feature_guidance, w_time - t, n, axis=0
+            )
+            img = step_fn(
+                img,
+                jnp.asarray(ts),
+                feats,
+                rng,
+                problem,
+                jnp.asarray(scale, jnp.float32),
+                jnp.asarray(cof, jnp.float32),
+            )
+            t -= n
+            if progress_callback is not None:
+                progress_callback(1.0 - t / max(w_time - 1.0, 1.0))
+            if not self.train_flag:
+                stop_time = t
+                break
+        self.mesh = self.get_mesh(img, t=stop_time)
+        return self.mesh
+
+    def _drag_chunk_fn(self, img, ts, feats, rng, problem, scale, cof, *, loss_type):
+        step = make_drag_step(
+            self.sched,
+            self._model_fn(feat=True, remat=self.remat),
+            problem,
+            scale=scale,
+            cof=cof,
+            loss_type=loss_type,
+            clip_denoised=self.config.diffusion.clip_denoised,
+        )
+
+        def body(im, inp):
+            t, feat = inp
+            return step(im, t, feat, jax.random.fold_in(rng, t)), None
+
+        img, _ = jax.lax.scan(body, img.astype(jnp.float32), (ts, feats))
+        return img
+
+    # ------------------------------------------------------------------
+    # Real-shape fitting + inversion (reference: drag_utils.py:401-471,552-566)
+    # ------------------------------------------------------------------
+
+    def fit_real_shape(
+        self,
+        mesh: Optional[TriMesh] = None,
+        mesh_path: Optional[str] = None,
+        center_mesh: bool = True,
+        tri_feat_path: Optional[str] = None,
+        path: str = "./",
+        seed: int = 0,
+    ) -> None:
+        """Fit a user mesh to a triplane latent via classifier-guided
+        reconstruction, cache the result (tri_feat.npy, NCHW — reference
+        cache contract), then run the edit-friendly inversion."""
+        if tri_feat_path is not None:
+            latent = jnp.asarray(latent_from_nchw(np.load(tri_feat_path)))
+            self.mesh = self.get_mesh(latent)
+            self.mesh0 = copy.deepcopy(self.mesh)
+            self.latent_inversion(latent)
+            return
+
+        if mesh is None:
+            if mesh_path is None:
+                raise ValueError("need mesh, mesh_path, or tri_feat_path")
+            mesh = TriMesh.read(mesh_path)
+        if center_mesh:
+            mesh = mesh.copy().normalize_unit_cube()
+
+        points, occ = sample_training_points(mesh, self.config.fit, seed=seed)
+        fit = self._jit(
+            ("fit_guided",),
+            lambda: jax.jit(
+                lambda pts, oc, r: fit_guided(
+                    self.sched,
+                    self._model_fn(feat=False, remat=self.remat),
+                    self.decoder_params,
+                    pts,
+                    oc,
+                    self.half_range,
+                    self.middle,
+                    r,
+                    latent_shape=self.config.latent_shape,
+                    batch_points=self.config.fit.batch_points,
+                    scale=self.config.fit.grad_scale,
+                    clip_denoised=self.config.diffusion.clip_denoised,
+                )
+            ),
+        )
+        latent = fit(jnp.asarray(points), jnp.asarray(occ), jax.random.PRNGKey(seed))
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "tri_feat.npy"), latent_to_nchw(latent))
+        self.clear_params()
+        self.mesh = self.get_mesh(latent)
+        self.mesh0 = copy.deepcopy(self.mesh)
+        self.mesh0.write(os.path.join(path, "mesh_recon.obj"))
+        self.latent_inversion(latent)
+
+    def fit_real_shape_direct(
+        self,
+        mesh: Optional[TriMesh] = None,
+        mesh_path: Optional[str] = None,
+        center_mesh: bool = True,
+        path: str = "./",
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Direct-Adam triplane fit (reference train_triplane_opt,
+        drag_utils.py:473-550). Returns + caches the normalized latent."""
+        if mesh is None:
+            if mesh_path is None:
+                raise ValueError("need mesh or mesh_path")
+            mesh = TriMesh.read(mesh_path)
+        if center_mesh:
+            mesh = mesh.copy().normalize_unit_cube()
+        points, occ = sample_training_points(mesh, self.config.fit, seed=seed)
+        latent = fit_direct(
+            self.decoder_params,
+            jnp.asarray(points),
+            jnp.asarray(occ),
+            self.half_range,
+            self.middle,
+            self.stats.means,
+            self.stats.stds,
+            jax.random.PRNGKey(seed),
+            self.config.fit,
+            latent_shape=self.config.latent_shape,
+        )
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "tri_feat_opt.npy"), latent_to_nchw(latent))
+        self.get_mesh(latent).write(os.path.join(path, "mesh_opt.obj"))
+        return np.asarray(latent)
+
+    def latent_inversion(self, latent: jnp.ndarray, seed: int = 0) -> None:
+        """Edit-friendly DDPM inversion: record w, per-step features,
+        variances and variance_noise (reference: drag_utils.py:552-566)."""
+        w_time = self.config.edit.w_time
+        fn = self._jit(
+            ("inversion", w_time),
+            lambda: jax.jit(
+                lambda x, r: ddpm_inversion(
+                    self.sched,
+                    self._model_fn(feat=True),
+                    x,
+                    r,
+                    steps=w_time,
+                    feat_postprocess=regroup_features,
+                    clip_denoised=self.config.diffusion.clip_denoised,
+                    chunk=2,
+                )
+            ),
+        )
+        latent = jnp.asarray(latent, jnp.float32).reshape(
+            (1,) + self.config.latent_shape
+        )
+        out = fn(latent, jax.random.PRNGKey(seed))
+        self.w = out["latent"]
+        self.w0 = self.w
+        self.feature_guidance = out["features"]
+        self.variances = out["variances"]
+        self.variance_noise = out["variance_noise"]
+        self.mesh = self.get_mesh(out["sample"])
+        self.mesh0 = copy.deepcopy(self.mesh)
+
+    # ------------------------------------------------------------------
+    # Session state (reference: drag_utils.py:568-583)
+    # ------------------------------------------------------------------
+
+    def clear_params(self) -> None:
+        self.mesh0 = None
+        self.mesh = None
+        self.latent_code = None
+        self.w0 = None
+        self.w = None
+        self.feature_guidance = None
+        self.variances = None
+        self.variance_noise = None
+
+    def reset_params(self) -> None:
+        if self.mesh0 is not None:
+            self.mesh = copy.deepcopy(self.mesh0)
+        if self.w0 is not None:
+            self.w = self.w0

@@ -13,6 +13,7 @@ is selected automatically for supported shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,22 +27,7 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     q, k, v = jnp.split(qkv, 3, axis=-1)  # [N, T, H, ch] each
 
     scale = 1.0 / (ch ** 0.25)
-    logits = jnp.einsum(
-        "nthc,nshc->nhts",
-        q * scale,
-        k * scale,
-        preferred_element_type=jnp.float32,
-    )
-    weights = jnp.asarray(
-        jnp.exp(
-            logits - jnp.max(logits, axis=-1, keepdims=True)
-        )
-    )
-    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    out = jnp.einsum(
-        "nhts,nshc->nthc",
-        weights.astype(v.dtype),
-        v,
-        preferred_element_type=jnp.float32,
-    ).astype(qkv.dtype)
+    logits = jnp.einsum("nthc,nshc->nhts", q * scale, k * scale)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("nhts,nshc->nthc", weights.astype(v.dtype), v)
     return out.reshape(n, t, num_heads * ch)

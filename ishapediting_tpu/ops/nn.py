@@ -33,7 +33,12 @@ def group_norm(
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     n, h, w, c = x32.shape
-    g = num_groups
+    # The published models always have c as a multiple of 32; fall back to
+    # the largest valid divisor for miniature test configs (torch
+    # GroupNorm(32, c) would reject those outright, so no parity concern).
+    g = min(num_groups, c)
+    while c % g:
+        g -= 1
     xg = x32.reshape(n, h, w, g, c // g)
     mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
@@ -44,14 +49,44 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
-def conv2d(
+_CONV_IMPL_CACHE: Optional[str] = None
+
+
+def _conv_impl() -> str:
+    """Select the conv lowering.
+
+    ``ISHAPE_CONV_IMPL`` = xla | im2col | auto (default auto).
+
+    auto: the native conv op on the axon backend runs at ~4 TFLOP/s while
+    its matmul path sustains >140 TFLOP/s (measured, see docs/PERF.md), so
+    non-CPU/TPU backends get the im2col matmul formulation; CPU and genuine
+    TPU keep ``lax.conv_general_dilated``.
+    """
+    global _CONV_IMPL_CACHE
+    if _CONV_IMPL_CACHE is None:
+        import os
+
+        choice = os.environ.get("ISHAPE_CONV_IMPL", "auto")
+        if choice == "auto":
+            try:
+                backend = jax.default_backend()
+            except Exception:  # noqa: BLE001
+                backend = "cpu"
+            choice = "xla" if backend in ("cpu", "tpu", "gpu") else "im2col"
+        _CONV_IMPL_CACHE = choice
+    return _CONV_IMPL_CACHE
+
+
+def conv2d_xla(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: Optional[jnp.ndarray] = None,
     stride: int = 1,
     padding: int = 0,
 ) -> jnp.ndarray:
-    """2D convolution, NHWC x HWIO -> NHWC. Accumulates in fp32 on the MXU."""
+    """Native conv op, NHWC x HWIO -> NHWC, computed in x.dtype (the TPU MXU
+    accumulates bf16 x bf16 in fp32 internally; keeping the HLO result dtype
+    == operand dtype keeps the conv differentiable)."""
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x,
@@ -59,19 +94,75 @@ def conv2d(
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv2d_im2col(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Convolution as one big matmul over explicitly gathered patches.
+
+    On backends whose conv lowering is slow but whose matmul path is fast,
+    this is a large win on both forward and backward (the VJP is all matmuls
+    and pad-adds — no conv primitives anywhere, which matters for the edit
+    paths that differentiate through the whole UNet).
+    """
+    kh, kw, cin, cout = w.shape
+    n, h, wdt, _ = x.shape
+    if kh == kw == 1 and padding == 0:
+        out = jnp.einsum("nhwc,co->nhwo", x[:, ::stride, ::stride], w[0, 0].astype(x.dtype))
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h_out = (h + 2 * padding - kh) // stride + 1
+    w_out = (wdt + 2 * padding - kw) // stride + 1
+    patches = []
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (n, dy + (h_out - 1) * stride + 1, dx + (w_out - 1) * stride + 1, cin),
+                (1, stride, stride, 1),
+            )
+            patches.append(sl)
+    lhs = jnp.concatenate(patches, axis=-1)  # [N, H', W', kh*kw*C]
+    # HWIO row-major (dy, dx, cin) matches the patch concat order exactly
+    out = jnp.einsum(
+        "nhwk,ko->nhwo", lhs, w.reshape(kh * kw * cin, cout).astype(x.dtype)
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """2D convolution, NHWC x HWIO -> NHWC (implementation per backend)."""
+    if _conv_impl() == "im2col":
+        return conv2d_im2col(x, w, b, stride, padding)
+    return conv2d_xla(x, w, b, stride, padding)
 
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Dense layer; ``w`` stored (in, out)."""
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    """Dense layer; ``w`` stored (in, out). Computed in x.dtype (see conv2d)."""
+    out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + b.astype(out.dtype)
+    return out
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,87 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ishapediting_tpu.cli.edit import parse_edit_log, write_edit_log
+from ishapediting_tpu.utils.logger import KVLogger, configure
+
+
+def test_edit_log_roundtrip(tmp_path):
+    path = str(tmp_path / "EditLog")
+    src = np.array([[0.1, 0.2, 0.3], [-0.4, 0.5, -0.6]], np.float32)
+    tgt = np.array([[0.2, 0.2, 0.3], [-0.4, 0.6, -0.6]], np.float32)
+    write_edit_log(path, "01", src, tgt, 1200, 0.4)
+    write_edit_log(path, "02", src[:1], tgt[:1], 600, 0.2)
+    edits = parse_edit_log(path)
+    assert set(edits) == {"01", "02"}
+    np.testing.assert_allclose(edits["01"]["sources"], src, atol=1e-6)
+    np.testing.assert_allclose(edits["01"]["targets"], tgt, atol=1e-6)
+    assert edits["01"]["scale"] == 1200
+    assert edits["01"]["lam"] == 0.4
+    assert edits["02"]["sources"].shape == (1, 3)
+
+
+def test_kv_logger_writers(tmp_path, capsys):
+    logger = KVLogger(str(tmp_path), formats=("stdout", "json", "csv"))
+    logger.logkv("loss", 1.5)
+    logger.logkv_mean("acc", 1.0)
+    logger.logkv_mean("acc", 0.0)
+    with logger.profile_kv("fwd"):
+        pass
+    out = logger.dumpkvs()
+    assert out["loss"] == 1.5
+    assert out["acc"] == pytest.approx(0.5)
+    assert "time/fwd" in out
+    captured = capsys.readouterr().out
+    assert "loss" in captured
+    with open(tmp_path / "progress.jsonl") as f:
+        rec = json.loads(f.readline())
+    assert rec["loss"] == 1.5
+    assert os.path.exists(tmp_path / "progress.csv")
+
+
+def test_logger_profile_decorator():
+    logger = KVLogger(None)
+
+    @logger.profile("work")
+    def work():
+        return 42
+
+    assert work() == 42
+    out = logger.dumpkvs()
+    assert "time/work" in out
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from ishapediting_tpu.io.checkpoint import load_params, save_params
+
+    params = {"a": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}}
+    path = str(tmp_path / "ckpt.orbax")
+    save_params(path, params)
+    back = load_params(path, target=params)
+    np.testing.assert_array_equal(np.asarray(back["a"]["w"]), np.asarray(params["a"]["w"]))
+
+
+def test_generate_cli_smoke(tmp_path):
+    """Tiny end-to-end CLI run with random init (CPU)."""
+    import ishapediting_tpu.cli.generate as gen
+
+    gen.main([
+        "--random_init",
+        "--preset", "tiny",
+        "--num_samples", "2",
+        "--batch_size", "2",
+        "--num_steps", "5",
+        "--use_ddim",
+        "--shape_resolution", "16",
+        "--save_dir", str(tmp_path),
+    ])
+    assert os.path.exists(tmp_path / "triplanes" / "0.npy")
+    assert os.path.exists(tmp_path / "triplanes" / "1.npy")
+    tri = np.load(tmp_path / "triplanes" / "0.npy")
+    assert tri.shape == (6, 16, 16)  # NCHW reference contract
+    assert os.path.exists(tmp_path / "objects" / "0.obj")

@@ -1,0 +1,157 @@
+"""End-to-end engine tests on a miniature pipeline (CPU, tiny UNet)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ishapediting_tpu.config import (
+    DiffusionConfig,
+    EditConfig,
+    FitConfig,
+    PipelineConfig,
+    UNetConfig,
+)
+from ishapediting_tpu.edit.engine import (
+    DragEngine,
+    latent_from_nchw,
+    latent_to_nchw,
+)
+
+TINY_PIPELINE = PipelineConfig(
+    unet=UNetConfig(
+        image_size=16,
+        in_channels=6,
+        model_channels=16,
+        out_channels=12,
+        num_res_blocks=1,
+        attention_ds=(2,),
+        channel_mult=(1, 2),
+        num_head_channels=8,
+        dropout=0.0,
+        compute_dtype="float32",
+    ),
+    diffusion=DiffusionConfig(base_steps=100, timestep_respacing="10"),
+    edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=16, r1=1),
+    fit=FitConfig(points_size=2000, batch_points=500, opt_epochs=1),
+    plane_channels=2,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return DragEngine(TINY_PIPELINE, seed=0)
+
+
+def test_update_latent_params_caches_state(engine):
+    x0 = engine.update_latent_params(seed=3)
+    assert x0.shape == (1, 16, 16, 6)
+    assert engine.w is not None and engine.w0 is not None
+    w_time = TINY_PIPELINE.edit.w_time
+    assert engine.feature_guidance.shape[0] == w_time
+    assert engine.feature_guidance.shape[1] == 3
+    assert engine.mesh is not None and engine.mesh0 is not None
+
+
+def test_drag_edit_runs_and_changes_latent(engine):
+    engine.update_latent_params(seed=3)
+    w_before = np.asarray(engine.w)
+    progress = []
+    src = np.array([[0.2, 0.0, 0.0]])
+    tgt = np.array([[0.4, 0.0, 0.0]])
+    mesh = engine.drag_edit(
+        src, tgt, scale=100.0, cof=0.2, chunk=2,
+        progress_callback=progress.append,
+    )
+    assert mesh is engine.mesh
+    assert progress and progress[-1] == pytest.approx(1.0, abs=1e-6)
+    # w itself must be untouched (reset_params can restore)
+    np.testing.assert_array_equal(np.asarray(engine.w), w_before)
+
+
+def test_drag_edit_scale_change_no_retrace(engine):
+    engine.update_latent_params(seed=3)
+    src = np.array([[0.2, 0.0, 0.0]])
+    tgt = np.array([[0.4, 0.0, 0.0]])
+    engine.drag_edit(src, tgt, scale=100.0, cof=0.2, chunk=3)
+    n_jitted = len(engine._jit_cache)
+    engine.drag_edit(src, tgt, scale=200.0, cof=0.4, chunk=3)
+    assert len(engine._jit_cache) == n_jitted  # same compiled fns reused
+
+
+def test_drag_edit_stop_flag(engine):
+    engine.update_latent_params(seed=3)
+    src = np.array([[0.2, 0.0, 0.0]])
+    tgt = np.array([[0.4, 0.0, 0.0]])
+    ticks = []
+
+    def cb(p):
+        ticks.append(p)
+        engine.train_flag = False  # request stop after first chunk
+
+    engine.drag_edit(src, tgt, scale=100.0, cof=0.2, chunk=2, progress_callback=cb)
+    assert len(ticks) == 1  # stopped early, finished unguided
+
+
+def test_reset_and_clear(engine):
+    engine.update_latent_params(seed=3)
+    engine.reset_params()
+    assert engine.w is engine.w0
+    engine.clear_params()
+    assert engine.w is None and engine.mesh is None
+    with pytest.raises(RuntimeError):
+        engine.drag_edit(np.zeros((1, 3)), np.ones((1, 3)))
+
+
+def test_latent_inversion_replay(engine):
+    x0 = engine.update_latent_params(seed=5)
+    engine.latent_inversion(jnp.asarray(x0))
+    w_time = TINY_PIPELINE.edit.w_time
+    assert engine.feature_guidance.shape[0] == w_time
+    assert engine.variance_noise.shape[0] == w_time
+    assert engine.w.shape == (1, 16, 16, 6)
+    # the inversion's replayed sample decodes the same mesh as x0
+    assert engine.mesh is not None
+
+
+def test_fit_real_shape_roundtrip(engine, tmp_path):
+    """Fit a sphere mesh -> latent -> inversion; checks the full real-shape
+    pipeline incl. the tri_feat.npy cache contract."""
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sphere = grid_to_mesh((0.5 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+
+    engine.fit_real_shape(mesh=sphere, path=str(tmp_path), seed=0)
+    assert os.path.exists(tmp_path / "tri_feat.npy")
+    assert os.path.exists(tmp_path / "mesh_recon.obj")
+    cached = np.load(tmp_path / "tri_feat.npy")
+    assert cached.shape == (1, 6, 16, 16)  # NCHW reference contract
+    assert engine.w is not None and engine.feature_guidance is not None
+
+    # reload from cache path (reference: drag_utils.py:403-409)
+    engine.clear_params()
+    engine.fit_real_shape(tri_feat_path=str(tmp_path / "tri_feat.npy"))
+    assert engine.mesh is not None and engine.w is not None
+
+
+def test_fit_direct(engine, tmp_path):
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sphere = grid_to_mesh((0.5 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+    latent = engine.fit_real_shape_direct(mesh=sphere, path=str(tmp_path), seed=0)
+    assert latent.shape == (1, 16, 16, 6)
+    assert os.path.exists(tmp_path / "tri_feat_opt.npy")
+    assert os.path.exists(tmp_path / "mesh_opt.obj")
+
+
+def test_latent_nchw_roundtrip(rng):
+    x = rng.standard_normal((1, 8, 8, 6)).astype(np.float32)
+    back = latent_from_nchw(latent_to_nchw(x))
+    np.testing.assert_array_equal(x, back)
+    assert latent_to_nchw(x).shape == (1, 6, 8, 8)

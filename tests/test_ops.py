@@ -149,3 +149,26 @@ def test_silu():
         F.silu(torch.tensor([-1.0, 0.0, 2.0])).numpy(),
         atol=1e-6,
     )
+
+
+def test_conv2d_im2col_matches_xla(rng):
+    from ishapediting_tpu.ops.nn import conv2d_im2col, conv2d_xla
+
+    for (kh, stride, pad, cin, cout) in [(3, 1, 1, 4, 6), (3, 2, 1, 4, 4), (1, 1, 0, 5, 7)]:
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, cin)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((kh, kh, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+        a = np.asarray(conv2d_xla(x, w, b, stride=stride, padding=pad))
+        bb = np.asarray(conv2d_im2col(x, w, b, stride=stride, padding=pad))
+        np.testing.assert_allclose(a, bb, atol=1e-4), (kh, stride)
+
+
+def test_conv2d_im2col_grad_matches(rng):
+    import jax
+    from ishapediting_tpu.ops.nn import conv2d_im2col, conv2d_xla
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(conv2d_xla(x, w, None, padding=1) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(conv2d_im2col(x, w, None, padding=1) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
