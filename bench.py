@@ -77,25 +77,36 @@ def unet_flops_per_sample(cfg: UNetConfig) -> float:
 
 
 def main():
+    # persistent compile cache when the backend supports it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ishape_jax_cache")
+    except Exception:
+        pass
     cfg = UNetConfig()  # published model, bf16 torso
     sched = make_schedule(1000, "linear", f"ddim{DDIM_STEPS}")
     params = init_unet_params(jax.random.PRNGKey(0), cfg)
 
-    def model_fn(x, t):
-        return unet_apply(cfg, params, x, t)
+    # params MUST be a jit argument: closing over them bakes 550M constants
+    # into the jaxpr and explodes compile time on some backends.
+    def loop(params, x, r):
+        model_fn = lambda a, b: unet_apply(cfg, params, a, b)
+        return ddim_sample_loop(sched, model_fn, x, r)
 
-    fn = jax.jit(lambda x, r: ddim_sample_loop(sched, model_fn, x, r))
+    fn = jax.jit(loop)
     x_T = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 128, 128, 96), jnp.float32)
 
-    # warmup / compile
-    out = fn(x_T, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    # warmup / compile; force completion with a scalar fetch (some PJRT
+    # backends do not block in block_until_ready)
+    t0 = time.perf_counter()
+    out = fn(params, x_T, jax.random.PRNGKey(2))
+    float(np.asarray(jnp.sum(out)))
+    compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = fn(x_T, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(out)
+        out = fn(params, x_T, jax.random.PRNGKey(3 + i))
+        float(np.asarray(jnp.sum(out)))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(np.asarray(out)).all()
     best = min(times)
@@ -114,6 +125,7 @@ def main():
                 "vs_baseline": round(samples_per_sec / a100_samples_per_sec, 3),
                 "detail": {
                     "batch": BATCH,
+                    "compile_s": round(compile_s, 1),
                     "wall_s_per_batch": round(best, 4),
                     "unet_tflops_fwd_per_sample": round(flops_fwd / 1e12, 3),
                     "a100_est_samples_per_sec": round(a100_samples_per_sec, 4),

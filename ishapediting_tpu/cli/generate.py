@@ -77,7 +77,7 @@ def main(argv=None):
     while args.batch_size % usable:
         usable -= 1
     mesh = make_mesh(usable)
-    model_fn = engine._model_fn(feat=False)
+    model_fn_p = engine._model_fn_p(feat=False)
 
     t1 = time.time()
     samples = []
@@ -89,13 +89,15 @@ def main(argv=None):
         m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
         out = sample_sharded(
             engine.sched,
-            model_fn,
+            None,
             m,
             batch_size=n,
             latent_shape=config.latent_shape,
             rng=jax.random.PRNGKey(args.seed + batch_idx),
             use_ddim=args.use_ddim,
             clip_denoised=config.diffusion.clip_denoised,
+            model_fn_p=model_fn_p,
+            params=engine.unet_params,
         )
         samples.append(np.asarray(out))
         remaining -= n

@@ -159,11 +159,20 @@ class DragEngine:
     # ------------------------------------------------------------------
 
     def _model_fn(self, feat: bool, remat: bool = False):
+        """Model closure over the *current* params — only for non-jitted or
+        externally-jitted use. Jitted engine functions must use
+        ``_model_fn_p`` and pass params as an argument: closing over large
+        params bakes them into the jaxpr as constants, which explodes compile
+        time on some backends (measured: minutes -> hours on axon)."""
+        fn = self._model_fn_p(feat, remat)
+        params = self.unet_params
+        return lambda x, t_orig: fn(params, x, t_orig)
+
+    def _model_fn_p(self, feat: bool, remat: bool = False):
         cfg = self.config.unet
         feat_layer = self.config.edit.feat_layer if feat else -1
-        params = self.unet_params
 
-        def fn(x, t_orig):
+        def fn(params, x, t_orig):
             return unet_apply(
                 cfg, params, x, t_orig, feat_layer=feat_layer, remat=remat
             )
@@ -201,12 +210,13 @@ class DragEngine:
         self.latent_code = np.asarray(latent)
 
         w_time = self.config.edit.w_time
+        mf = self._model_fn_p(feat=True)
         fn = self._jit(
             ("sample_feat", w_time),
             lambda: jax.jit(
-                lambda x, r: sample_loop_with_features(
+                lambda params, x, r: sample_loop_with_features(
                     self.sched,
-                    self._model_fn(feat=True),
+                    partial(mf, params),
                     x,
                     r,
                     w_time=w_time,
@@ -215,7 +225,7 @@ class DragEngine:
                 )
             ),
         )
-        out = fn(latent, jax.random.PRNGKey(seed + 1))
+        out = fn(self.unet_params, latent, jax.random.PRNGKey(seed + 1))
         self.w = out["w"]
         self.w0 = self.w
         self.feature_guidance = out["features"]
@@ -259,15 +269,15 @@ class DragEngine:
                     self._finish_steps_fn, static_argnames=("t_start",)
                 ),
             )
-            latent = fn(latent, jax.random.PRNGKey(1234), t_start=t)
+            latent = fn(self.unet_params, latent, jax.random.PRNGKey(1234), t_start=t)
         grid = self.decode_latent_grid(latent)
         mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
         if smooth > 0:
             mesh = mesh.filter_smooth_simple(smooth)
         return mesh
 
-    def _finish_steps_fn(self, latent, rng, *, t_start):
-        model_fn = self._model_fn(feat=False)
+    def _finish_steps_fn(self, params, latent, rng, *, t_start):
+        model_fn = partial(self._model_fn_p(feat=False), params)
 
         def body(carry, t):
             x, key = carry
@@ -339,6 +349,7 @@ class DragEngine:
                 self.feature_guidance, w_time - t, n, axis=0
             )
             img = step_fn(
+                self.unet_params,
                 img,
                 jnp.asarray(ts),
                 feats,
@@ -356,10 +367,10 @@ class DragEngine:
         self.mesh = self.get_mesh(img, t=stop_time)
         return self.mesh
 
-    def _drag_chunk_fn(self, img, ts, feats, rng, problem, scale, cof, *, loss_type):
+    def _drag_chunk_fn(self, params, img, ts, feats, rng, problem, scale, cof, *, loss_type):
         step = make_drag_step(
             self.sched,
-            self._model_fn(feat=True, remat=self.remat),
+            partial(self._model_fn_p(feat=True, remat=self.remat), params),
             problem,
             scale=scale,
             cof=cof,
@@ -405,13 +416,14 @@ class DragEngine:
             mesh = mesh.copy().normalize_unit_cube()
 
         points, occ = sample_training_points(mesh, self.config.fit, seed=seed)
+        mf = self._model_fn_p(feat=False, remat=self.remat)
         fit = self._jit(
             ("fit_guided",),
             lambda: jax.jit(
-                lambda pts, oc, r: fit_guided(
+                lambda params, dec, pts, oc, r: fit_guided(
                     self.sched,
-                    self._model_fn(feat=False, remat=self.remat),
-                    self.decoder_params,
+                    partial(mf, params),
+                    dec,
                     pts,
                     oc,
                     self.half_range,
@@ -424,7 +436,10 @@ class DragEngine:
                 )
             ),
         )
-        latent = fit(jnp.asarray(points), jnp.asarray(occ), jax.random.PRNGKey(seed))
+        latent = fit(
+            self.unet_params, self.decoder_params,
+            jnp.asarray(points), jnp.asarray(occ), jax.random.PRNGKey(seed),
+        )
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "tri_feat.npy"), latent_to_nchw(latent))
         self.clear_params()
@@ -471,12 +486,13 @@ class DragEngine:
         """Edit-friendly DDPM inversion: record w, per-step features,
         variances and variance_noise (reference: drag_utils.py:552-566)."""
         w_time = self.config.edit.w_time
+        mf = self._model_fn_p(feat=True)
         fn = self._jit(
             ("inversion", w_time),
             lambda: jax.jit(
-                lambda x, r: ddpm_inversion(
+                lambda params, x, r: ddpm_inversion(
                     self.sched,
-                    self._model_fn(feat=True),
+                    partial(mf, params),
                     x,
                     r,
                     steps=w_time,
@@ -489,7 +505,7 @@ class DragEngine:
         latent = jnp.asarray(latent, jnp.float32).reshape(
             (1,) + self.config.latent_shape
         )
-        out = fn(latent, jax.random.PRNGKey(seed))
+        out = fn(self.unet_params, latent, jax.random.PRNGKey(seed))
         self.w = out["latent"]
         self.w0 = self.w
         self.feature_guidance = out["features"]

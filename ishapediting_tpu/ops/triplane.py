@@ -160,6 +160,8 @@ def decode_grid(
         logits = mlp_head(dec_c, s, compute_dtype)[..., 0]  # [ic, k, j]
         return logits.transpose(0, 2, 1)  # [ic, j, k]
 
+    while res % chunk:  # largest divisor of res not exceeding the request
+        chunk -= 1
     idx = jnp.arange(res).reshape(res // chunk, chunk)
     out = jax.lax.map(slab, idx)  # [res/chunk, chunk, j, k]
     return out.reshape(res, res, res)

@@ -32,10 +32,17 @@ def sample_sharded(
     eta: float = 0.0,
     clip_denoised: bool = True,
     x_T: Optional[jnp.ndarray] = None,
+    model_fn_p: Optional[Callable] = None,
+    params=None,
 ) -> jnp.ndarray:
     """Sample ``batch_size`` trajectories sharded over the mesh's data axis.
 
     Returns the full batch [B, H, W, C], fp32, replicated on host fetch.
+
+    Pass ``model_fn_p(params, x, t)`` + ``params`` for large models so the
+    parameters enter the jit as arguments (closing over them via ``model_fn``
+    bakes them into the program as constants — pathological compile times on
+    some backends).
     """
     n_data = mesh.shape["data"]
     if batch_size % n_data:
@@ -55,6 +62,13 @@ def sample_sharded(
     else:
         loop = partial(p_sample_loop, clip_denoised=clip_denoised)
 
+    if model_fn_p is not None:
+        fn = jax.jit(
+            lambda p, x, r: loop(sched, partial(model_fn_p, p), x, r),
+            in_shardings=(None, batch_sharding, None),
+            out_shardings=batch_sharding,
+        )
+        return fn(params, x_T, rng_loop)
     fn = jax.jit(
         lambda x, r: loop(sched, model_fn, x, r),
         in_shardings=(batch_sharding, None),
