@@ -422,6 +422,53 @@ def ddpm_inversion(
     }
 
 
+def sample_partial(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    t_start: int,
+    t_stop: int = 0,
+    use_ddim: bool = False,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    capture_features: bool = False,
+    feat_postprocess: Callable[[jnp.ndarray], jnp.ndarray] = lambda f: f,
+) -> Dict[str, jnp.ndarray]:
+    """Generic partial-trajectory sampler: run steps t_start-1 .. t_stop,
+    optionally capturing per-step intermediate features (covers the
+    reference's ``synthesize_latent`` capability, drag_utils.py:61-131).
+    Returns dict(sample, pred_xstart, features?).
+    """
+
+    def step(carry, t):
+        xx, key = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((xx.shape[0],), t, jnp.int32)
+        if use_ddim:
+            out = ddim_sample(
+                sched, model_fn, xx, tb, sub, eta=eta, clip_denoised=clip_denoised
+            )
+        else:
+            out = p_sample_guidance(
+                sched, model_fn, xx, tb, sub, clip_denoised=clip_denoised
+            )
+        ys = (
+            feat_postprocess(out["inter_feat"]) if capture_features else None,
+            out["pred_xstart"],
+        )
+        return (out["sample"], key), ys
+
+    carry, (feats, pred_x0) = _scan_steps(
+        step, (x.astype(jnp.float32), rng), t_start, t_stop
+    )
+    result = {"sample": carry[0], "pred_xstart": pred_x0}
+    if capture_features:
+        result["features"] = feats
+    return result
+
+
 def guided_sample_loop(
     sched: Schedule,
     model_fn: ModelFn,

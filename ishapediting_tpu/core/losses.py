@@ -131,6 +131,59 @@ def training_losses(
     return {"loss": mse + vb, "mse": mse, "vb": vb}
 
 
+def prior_bpd(sched: Schedule, x_start: jnp.ndarray) -> jnp.ndarray:
+    """Prior KL term in bits/dim (reference: gaussian_diffusion.py:959-975)."""
+    b = x_start.shape[0]
+    t = jnp.full((b,), sched.num_timesteps - 1, jnp.int32)
+    nd = x_start.ndim
+    qt_mean = extract(sched.sqrt_alphas_cumprod, t, nd) * x_start
+    qt_log_var = extract(sched.log_one_minus_alphas_cumprod, t, nd)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    clip_denoised: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full variational bound in bits/dim over every timestep, as one scan
+    (reference: gaussian_diffusion.py:977-1032). Returns total_bpd,
+    prior_bpd, vb [B, T], xstart_mse [B, T], mse [B, T]."""
+    from ishapediting_tpu.core.diffusion import predict_eps_from_xstart
+
+    b = x_start.shape[0]
+
+    def step(_, t):
+        tb = jnp.full((b,), t, jnp.int32)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, t), x_start.shape, jnp.float32
+        )
+        x_t = q_sample(sched, x_start, tb, noise)
+        out = vb_terms_bpd(
+            sched, model_fn, x_start, x_t, tb, clip_denoised=clip_denoised
+        )
+        xstart_mse = mean_flat(jnp.square(out["pred_xstart"] - x_start))
+        eps = predict_eps_from_xstart(sched, x_t, tb, out["pred_xstart"])
+        mse = mean_flat(jnp.square(eps - noise))
+        return None, (out["output"], xstart_mse, mse)
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, None, ts)
+    vb = vb.T  # [B, T]
+    pb = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + pb,
+        "prior_bpd": pb,
+        "vb": vb,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }
+
+
 def update_ema(ema_params, params, rate: float = 0.9999):
     """EMA of parameters (reference: nn.py:54-64)."""
     return jax.tree.map(

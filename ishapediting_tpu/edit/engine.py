@@ -248,7 +248,11 @@ class DragEngine:
             self.half_range,
             self.middle,
         )
-        return np.asarray(decode_grid(self.decoder_params, planes, res=res))
+        return np.asarray(
+            decode_grid(
+                self.decoder_params, planes, res=res, out_dtype=jnp.float16
+            )
+        ).astype(np.float32)
 
     def get_mesh(
         self, latent: Optional[jnp.ndarray] = None, t: int = 0, smooth: int = 10

@@ -119,7 +119,9 @@ def _resize_matrix_align_corners(src: int, dst: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "chunk", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("res", "chunk", "compute_dtype", "out_dtype")
+)
 def decode_grid(
     dec: Dict,
     planes: jnp.ndarray,
@@ -127,6 +129,7 @@ def decode_grid(
     res: int = 256,
     chunk: int = 16,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Dense occupancy grid, [res, res, res] fp32 logits, indexed [i, j, k]
     for (x, y, z) = linspace(-1, 1, res) (reference: visualize.py:79-97).
@@ -164,7 +167,12 @@ def decode_grid(
         chunk -= 1
     idx = jnp.arange(res).reshape(res // chunk, chunk)
     out = jax.lax.map(slab, idx)  # [res/chunk, chunk, j, k]
-    return out.reshape(res, res, res)
+    out = out.reshape(res, res, res)
+    if out_dtype is not None:
+        # fp16 transfer halves host-fetch time; marching tetrahedra only
+        # needs values near the zero crossing, where fp16 is plenty.
+        out = out.astype(out_dtype)
+    return out
 
 
 def decode_points_chunked(

@@ -197,3 +197,23 @@ def test_inversion_chunk_invariance():
     np.testing.assert_allclose(
         np.asarray(a["variance_noise"]), np.asarray(b["variance_noise"]), atol=1e-6
     )
+
+
+def test_sample_partial():
+    from ishapediting_tpu.core.diffusion import sample_partial
+
+    sched = make_schedule(1000, "linear", "20")
+    x = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+    out = sample_partial(
+        sched, toy_model, x, jax.random.PRNGKey(1),
+        t_start=10, t_stop=4, capture_features=True,
+    )
+    assert out["sample"].shape == SHAPE
+    assert out["features"].shape[0] == 6
+    assert out["pred_xstart"].shape[0] == 6
+    # ddim variant deterministic
+    a = sample_partial(sched, toy_model, x, jax.random.PRNGKey(2),
+                       t_start=10, use_ddim=True)
+    b = sample_partial(sched, toy_model, x, jax.random.PRNGKey(3),
+                       t_start=10, use_ddim=True)
+    np.testing.assert_array_equal(np.asarray(a["sample"]), np.asarray(b["sample"]))

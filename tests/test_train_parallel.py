@@ -138,3 +138,15 @@ def test_entry_compiles_tiny():
     fn, args = ge.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None
+
+
+def test_calc_bpd_loop():
+    from ishapediting_tpu.core.losses import calc_bpd_loop
+
+    sched = make_schedule(1000, "linear", "10")
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6)), -1, 1)
+    out = calc_bpd_loop(sched, toy_model, x0, jax.random.PRNGKey(1))
+    assert out["vb"].shape == (2, 10)
+    assert out["total_bpd"].shape == (2,)
+    assert np.isfinite(np.asarray(out["total_bpd"])).all()
+    assert (np.asarray(out["prior_bpd"]) >= 0).all()
