@@ -1,0 +1,216 @@
+"""End-to-end toy pipeline: train everything from scratch, then drag-edit.
+
+Miniature version of the full product loop with *learned* signal (no
+pretrained assets needed):
+
+1. procedurally generate sphere shapes (analytic occupancy),
+2. jointly train the shared occupancy decoder + per-shape triplanes,
+3. train a tiny triplane DDPM on those latents,
+4. sample a new shape from noise with guidance-feature caching,
+5. drag-edit it and check the surface actually followed the handle.
+
+Runs on CPU in ~5-10 minutes:
+
+    JAX_PLATFORMS=cpu python examples/toy_pipeline.py --out /tmp/toy
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="/tmp/toy_pipeline")
+    p.add_argument("--num_shapes", type=int, default=24)
+    p.add_argument("--decoder_steps", type=int, default=600)
+    p.add_argument("--ddpm_steps", type=int, default=1200)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ishapediting_tpu.config import (
+        DiffusionConfig,
+        EditConfig,
+        FitConfig,
+        PipelineConfig,
+        UNetConfig,
+    )
+    from ishapediting_tpu.core.schedule import make_schedule
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.io.model_dir import TriplaneStats
+    from ishapediting_tpu.train.decoder import train_decoder
+    from ishapediting_tpu.train.loop import train
+    from ishapediting_tpu.utils.logger import get_logger
+
+    logger = get_logger()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    # ------------------------------------------------------------------
+    # 1. procedural shapes: spheres with varying center_x and radius
+    # ------------------------------------------------------------------
+    n = args.num_shapes
+    centers = np.stack(
+        [rng.uniform(-0.25, 0.25, n), np.zeros(n), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    radii = rng.uniform(0.3, 0.5, n).astype(np.float32)
+
+    def occupancy(obj_idx, pts):
+        return (
+            np.linalg.norm(pts - centers[obj_idx], axis=1) < radii[obj_idx]
+        ).astype(np.float32)
+
+    def dec_batches():
+        while True:
+            obj = int(rng.integers(0, n))
+            # half uniform, half near-surface for sharp boundaries
+            u = rng.uniform(-1, 1, (1024, 3)).astype(np.float32)
+            sdir = rng.standard_normal((1024, 3)).astype(np.float32)
+            sdir /= np.linalg.norm(sdir, axis=1, keepdims=True)
+            s = centers[obj] + sdir * (
+                radii[obj] + rng.normal(0, 0.05, (1024, 1))
+            ).astype(np.float32)
+            pts = np.concatenate([u, s], axis=0)
+            yield obj, pts, occupancy(obj, pts)
+
+    logger.log("=== training decoder + plane bank ===")
+    PLANE_RES, PLANE_CH = 32, 8
+    dec_params, bank = train_decoder(
+        dec_batches(),
+        num_objs=n,
+        steps=args.decoder_steps,
+        resolution=PLANE_RES,
+        channels=PLANE_CH,
+        mapping=16,
+        hidden=64,
+        lr=3e-3,
+        seed=args.seed,
+        log_every=200,
+    )
+
+    # ------------------------------------------------------------------
+    # 2. normalization stats from the bank, latents in [-1, 1]
+    # ------------------------------------------------------------------
+    bank_np = np.asarray(bank)  # [n, 3, H, W, C]
+    flat = bank_np.transpose(0, 2, 3, 1, 4).reshape(n, PLANE_RES, PLANE_RES, 3 * PLANE_CH)
+    lower = flat.min(axis=(0, 1, 2))
+    upper = flat.max(axis=(0, 1, 2))
+    stats = TriplaneStats(
+        half_range=np.maximum((upper - lower) / 2, 1e-6).astype(np.float32),
+        middle=((upper + lower) / 2).astype(np.float32),
+    )
+    latents = (flat - stats.middle) / stats.half_range  # [n, H, W, 24]
+
+    # ------------------------------------------------------------------
+    # 3. train a tiny DDPM on the latents
+    # ------------------------------------------------------------------
+    cfg = PipelineConfig(
+        unet=UNetConfig(
+            image_size=PLANE_RES,
+            in_channels=3 * PLANE_CH,
+            model_channels=32,
+            out_channels=6 * PLANE_CH,
+            num_res_blocks=1,
+            attention_ds=(4,),
+            channel_mult=(1, 2),
+            num_head_channels=16,
+            dropout=0.0,
+            compute_dtype="float32",
+        ),
+        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
+        edit=EditConfig(w_time=20, feat_layer=1, shape_resolution=48, r1=3),
+        fit=FitConfig(points_size=10_000, batch_points=2_000),
+        plane_channels=PLANE_CH,
+    )
+    train_sched = make_schedule(100, "linear", "")
+
+    def ddpm_batches():
+        while True:
+            idx = rng.integers(0, n, 8)
+            yield latents[idx]
+
+    from ishapediting_tpu.models.unet import init_unet_params
+
+    logger.log("=== training tiny triplane DDPM ===")
+    state = train(
+        cfg.unet,
+        train_sched,
+        init_unet_params(jax.random.PRNGKey(args.seed), cfg.unet),
+        ddpm_batches(),
+        total_steps=args.ddpm_steps,
+        ckpt_dir=None,
+        lr=3e-4,
+        log_every=200,
+        ema_rate=0.999,
+    )
+
+    # ------------------------------------------------------------------
+    # 4. sample a shape + cache guidance features
+    # ------------------------------------------------------------------
+    logger.log("=== sampling + editing ===")
+    engine = DragEngine(
+        cfg,
+        unet_params=state.ema_params,
+        decoder_params=dec_params,
+        stats=stats,
+        remat=False,
+    )
+
+    # sanity: a TRAINING latent must decode to a clean sphere
+    train_mesh = engine.get_mesh(jnp.asarray(latents[0][None]))
+    tx = train_mesh.vertices
+    logger.log(
+        f"train-latent decode: {len(tx)} verts, "
+        f"bbox x [{tx[:,0].min():.2f},{tx[:,0].max():.2f}] "
+        f"(expect sphere around {centers[0,0]:.2f} r={radii[0]:.2f})"
+    )
+
+    x0 = engine.update_latent_params(seed=args.seed + 7)  # [1, H, W, 24]
+    # how close is the sample to the training manifold?
+    d = np.linalg.norm((latents - x0[0]).reshape(n, -1), axis=1)
+    data_spread = np.linalg.norm(
+        (latents - latents.mean(0)).reshape(n, -1), axis=1
+    ).mean()
+    logger.log(
+        f"sample-to-nearest-train-latent: {d.min():.2f} "
+        f"(data spread {data_spread:.2f}, |x0|={np.linalg.norm(x0):.2f})"
+    )
+    original = engine.mesh0
+    original.write(os.path.join(args.out, "original.obj"))
+    ox = original.vertices[:, 0]
+    logger.log(
+        f"original mesh: {len(original.vertices)} verts, "
+        f"x-extent [{ox.min():.3f}, {ox.max():.3f}]"
+    )
+
+    # 5. drag the +x pole outward
+    handle = original.vertices[np.argmax(ox)].astype(np.float32)
+    target = handle + np.array([0.25, 0, 0], np.float32)
+    edited = engine.drag_edit(
+        handle[None], target[None], scale=300.0, cof=0.2, seed=args.seed
+    )
+    edited.write(os.path.join(args.out, "edited.obj"))
+    ex = edited.vertices[:, 0]
+    logger.log(
+        f"edited mesh:   {len(edited.vertices)} verts, "
+        f"x-extent [{ex.min():.3f}, {ex.max():.3f}]"
+    )
+    delta = ex.max() - ox.max()
+    logger.log(f"drag moved +x surface by {delta:+.3f} (target +0.25)")
+    return {
+        "original": original,
+        "edited": edited,
+        "delta_x": float(delta),
+        "engine": engine,
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Training driver: checkpoint/resume, NaN guard, dataset, decoder training."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ishapediting_tpu.core.schedule import make_schedule
+from ishapediting_tpu.io.dataset import (
+    MultiOccupancyDataset,
+    OccupancyDataset,
+    TriplaneDataset,
+)
+from ishapediting_tpu.io.model_dir import TriplaneStats
+from ishapediting_tpu.models.unet import init_unet_params
+from ishapediting_tpu.train.loop import latest_checkpoint, train
+from tests.test_train_parallel import TINY
+
+
+def _batches(rng, n=4):
+    while True:
+        yield np.clip(rng.standard_normal((n, 8, 8, 6)).astype(np.float32), -1, 1)
+
+
+def test_train_checkpoint_and_resume(tmp_path, rng):
+    sched = make_schedule(100, "linear", "")
+    params = init_unet_params(jax.random.PRNGKey(0), TINY)
+    ckpt_dir = str(tmp_path / "ckpts")
+    state = train(
+        TINY, sched, params, _batches(rng),
+        total_steps=4, ckpt_dir=ckpt_dir, ckpt_every=2, log_every=100,
+    )
+    assert int(state.step) == 4
+    assert latest_checkpoint(ckpt_dir).endswith("step_4")
+
+    # resume continues from step 4
+    state2 = train(
+        TINY, sched, params, _batches(rng),
+        total_steps=6, ckpt_dir=ckpt_dir, ckpt_every=10, log_every=100,
+    )
+    assert int(state2.step) == 6
+
+
+def test_train_nan_guard(tmp_path, rng):
+    sched = make_schedule(100, "linear", "")
+    params = init_unet_params(jax.random.PRNGKey(0), TINY)
+
+    def bad_batches():
+        while True:
+            yield np.full((2, 8, 8, 6), np.nan, np.float32)
+
+    with pytest.raises(FloatingPointError):
+        train(
+            TINY, sched, params, bad_batches(),
+            total_steps=10, ckpt_dir=None, max_bad_steps=3, log_every=100,
+        )
+
+
+def test_triplane_dataset(tmp_path, rng):
+    stats = TriplaneStats(
+        half_range=np.full(6, 2.0, np.float32), middle=np.ones(6, np.float32)
+    )
+    for i in range(5):
+        np.save(tmp_path / f"{i}.npy", rng.standard_normal((6, 8, 8)).astype(np.float32))
+    ds = TriplaneDataset(str(tmp_path), stats, channels=6)
+    assert len(ds) == 5
+    batch = next(ds.batches(2, seed=0))
+    assert batch.shape == (2, 8, 8, 6)
+    # normalization applied: x = (tri - middle)/half_range
+    raw = np.load(ds.files[0]).transpose(1, 2, 0)
+    normalized = ds._load(ds.files[0])
+    np.testing.assert_allclose(normalized, (raw - 1.0) / 2.0, atol=1e-6)
+
+
+def test_occupancy_datasets(rng):
+    pts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    occ = (rng.random(100) > 0.5).astype(np.float32)
+    ds = OccupancyDataset(pts, occ)
+    p, o = next(ds.batches(16))
+    assert p.shape == (16, 3) and o.shape == (16,)
+    multi = MultiOccupancyDataset([ds, ds])
+    obj, p, o = next(multi.batches(8))
+    assert obj in (0, 1) and p.shape == (8, 3)
+
+
+def test_decoder_training_learns_sphere(rng):
+    """Joint decoder training must fit a simple occupancy function."""
+    from ishapediting_tpu.ops.triplane import decode_points
+    from ishapediting_tpu.train.decoder import train_decoder
+
+    pts = rng.uniform(-1, 1, (20000, 3)).astype(np.float32)
+    occ = (np.linalg.norm(pts, axis=1) < 0.5).astype(np.float32)
+    ds = OccupancyDataset(pts, occ)
+    multi = MultiOccupancyDataset([ds])
+    params, bank = train_decoder(
+        multi.batches(2048, seed=0),
+        num_objs=1, steps=150, resolution=32, channels=8, lr=3e-3,
+        log_every=1000,
+    )
+    test_pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    logits = np.asarray(decode_points(params, bank[0], jnp.asarray(test_pts)))[:, 0]
+    pred = logits > 0
+    truth = np.linalg.norm(test_pts, axis=1) < 0.5
+    acc = (pred == truth).mean()
+    assert acc > 0.9, acc
