@@ -26,9 +26,12 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="/tmp/toy_pipeline")
-    p.add_argument("--num_shapes", type=int, default=24)
+    p.add_argument("--num_shapes", type=int, default=12)
     p.add_argument("--decoder_steps", type=int, default=600)
-    p.add_argument("--ddpm_steps", type=int, default=1200)
+    p.add_argument("--ddpm_steps", type=int, default=8000)
+    p.add_argument("--plane_res", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--drag_scale", type=float, default=300.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -81,7 +84,7 @@ def main(argv=None):
             yield obj, pts, occupancy(obj, pts)
 
     logger.log("=== training decoder + plane bank ===")
-    PLANE_RES, PLANE_CH = 32, 8
+    PLANE_RES, PLANE_CH = args.plane_res, 8
     dec_params, bank = train_decoder(
         dec_batches(),
         num_objs=n,
@@ -125,7 +128,7 @@ def main(argv=None):
             compute_dtype="float32",
         ),
         diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=20, feat_layer=1, shape_resolution=48, r1=3),
+        edit=EditConfig(w_time=20, feat_layer=1, shape_resolution=48, r1=2),
         fit=FitConfig(points_size=10_000, batch_points=2_000),
         plane_channels=PLANE_CH,
     )
@@ -146,8 +149,8 @@ def main(argv=None):
         ddpm_batches(),
         total_steps=args.ddpm_steps,
         ckpt_dir=None,
-        lr=3e-4,
-        log_every=200,
+        lr=args.lr,
+        log_every=max(args.ddpm_steps // 10, 1),
         ema_rate=0.999,
     )
 
@@ -194,7 +197,7 @@ def main(argv=None):
     handle = original.vertices[np.argmax(ox)].astype(np.float32)
     target = handle + np.array([0.25, 0, 0], np.float32)
     edited = engine.drag_edit(
-        handle[None], target[None], scale=300.0, cof=0.2, seed=args.seed
+        handle[None], target[None], scale=args.drag_scale, cof=0.2, seed=args.seed
     )
     edited.write(os.path.join(args.out, "edited.obj"))
     ex = edited.vertices[:, 0]

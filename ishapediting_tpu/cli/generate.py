@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", type=str, default="samples/out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_decode", action="store_true")
+    p.add_argument("--save_npz", action="store_true",
+                   help="also save one samples_NxHxWxC.npz batch file "
+                        "(image_sample.py main() contract)")
     return p
 
 
@@ -108,6 +111,11 @@ def main(argv=None):
 
     # unnormalize to physical triplanes, save NCHW like the reference
     phys = samples * engine.stats.half_range + engine.stats.middle
+    if args.save_npz:
+        # FID-style batch file (reference: image_sample.py:120-130)
+        shape_str = "x".join(str(d) for d in phys.shape)
+        np.savez(os.path.join(args.save_dir, f"samples_{shape_str}.npz"), phys)
+        print(f"saved samples_{shape_str}.npz")
     for idx in range(phys.shape[0]):
         np.save(
             f"{args.save_dir}/triplanes/{idx}.npy",
