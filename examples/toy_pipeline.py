@@ -103,13 +103,16 @@ def main(argv=None):
     # ------------------------------------------------------------------
     bank_np = np.asarray(bank)  # [n, 3, H, W, C]
     flat = bank_np.transpose(0, 2, 3, 1, 4).reshape(n, PLANE_RES, PLANE_RES, 3 * PLANE_CH)
-    lower = flat.min(axis=(0, 1, 2))
-    upper = flat.max(axis=(0, 1, 2))
+    # z-score-style normalization (±2.5 sigma -> [-1, 1]): DDPM training needs
+    # the latents at O(1) variance; plain min/max bounds leave TV-smoothed
+    # planes clustered near 0 and the diffusion model barely sees signal.
+    mean = flat.mean(axis=(0, 1, 2))
+    std = flat.std(axis=(0, 1, 2))
     stats = TriplaneStats(
-        half_range=np.maximum((upper - lower) / 2, 1e-6).astype(np.float32),
-        middle=((upper + lower) / 2).astype(np.float32),
+        half_range=np.maximum(2.5 * std, 1e-6).astype(np.float32),
+        middle=mean.astype(np.float32),
     )
-    latents = (flat - stats.middle) / stats.half_range  # [n, H, W, 24]
+    latents = np.clip((flat - stats.middle) / stats.half_range, -1, 1)
 
     # ------------------------------------------------------------------
     # 3. train a tiny DDPM on the latents
@@ -175,18 +178,46 @@ def main(argv=None):
         f"(expect sphere around {centers[0,0]:.2f} r={radii[0]:.2f})"
     )
 
-    x0 = engine.update_latent_params(seed=args.seed + 7)  # [1, H, W, 24]
-    # how close is the sample to the training manifold?
-    d = np.linalg.norm((latents - x0[0]).reshape(n, -1), axis=1)
-    data_spread = np.linalg.norm(
-        (latents - latents.mean(0)).reshape(n, -1), axis=1
-    ).mean()
-    logger.log(
-        f"sample-to-nearest-train-latent: {d.min():.2f} "
-        f"(data spread {data_spread:.2f}, |x0|={np.linalg.norm(x0):.2f})"
+    # --- sampler diagnostics ------------------------------------------
+    from ishapediting_tpu.core.diffusion import ddim_sample_loop, p_sample_loop
+    from ishapediting_tpu.core.schedule import make_schedule as mk
+    from ishapediting_tpu.core.diffusion import q_sample
+
+    def dist_report(name, arr):
+        d = np.linalg.norm((latents - np.asarray(arr)[0]).reshape(n, -1), axis=1)
+        spread = np.linalg.norm(
+            (latents - latents.mean(0)).reshape(n, -1), axis=1
+        ).mean()
+        logger.log(
+            f"{name}: nearest-train {d.min():.2f} (spread {spread:.2f}, "
+            f"|x|={np.linalg.norm(np.asarray(arr)):.2f})"
+        )
+
+    mf = engine._model_fn(feat=False)
+    x_T = jax.random.normal(jax.random.PRNGKey(args.seed + 7), (1,) + cfg.latent_shape)
+    ddim_out = ddim_sample_loop(engine.sched, mf, x_T, jax.random.PRNGKey(1))
+    dist_report("ddim-25 sample", ddim_out)
+    full_sched = mk(cfg.diffusion.base_steps, "linear", "")
+    full_out = p_sample_loop(full_sched, mf, x_T, jax.random.PRNGKey(2))
+    dist_report("ddpm-100 sample", full_out)
+    # conditional re-denoise of a noised training latent
+    t60 = jnp.full((1,), 60, jnp.int32)
+    noised = q_sample(
+        full_sched, jnp.asarray(latents[:1]), t60,
+        jax.random.normal(jax.random.PRNGKey(3), (1,) + cfg.latent_shape),
     )
+    from ishapediting_tpu.core.diffusion import sample_partial
+    redo = sample_partial(full_sched, mf, noised, jax.random.PRNGKey(4), t_start=60)
+    d0 = np.linalg.norm(np.asarray(redo["sample"])[0] - latents[0])
+    logger.log(f"re-denoise t=60 of train[0]: dist-to-origin {d0:.2f}")
+
+    x0 = engine.update_latent_params(seed=args.seed + 7)  # [1, H, W, 24]
+    dist_report("engine ddpm-25 sample", x0)
     original = engine.mesh0
     original.write(os.path.join(args.out, "original.obj"))
+    if len(original.vertices) == 0:
+        logger.log("sampled mesh is EMPTY — model sample off-manifold; aborting edit demo")
+        return {"original": original, "edited": None, "delta_x": None, "engine": engine}
     ox = original.vertices[:, 0]
     logger.log(
         f"original mesh: {len(original.vertices)} verts, "

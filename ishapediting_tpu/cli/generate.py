@@ -59,11 +59,7 @@ def main(argv=None):
     from ishapediting_tpu.parallel.mesh import make_mesh
     from ishapediting_tpu.parallel.sampling import sample_sharded
 
-    config = preset(args.preset, args.num_steps)
-    if args.use_ddim:
-        config = config.with_ddim(args.num_steps)
-    else:
-        config = config.with_steps(args.num_steps)
+    config = preset(args.preset, args.num_steps, use_ddim=args.use_ddim)
 
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)

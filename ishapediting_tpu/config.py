@@ -180,9 +180,11 @@ class PipelineConfig:
 # Per-category presets. All three released categories share the architecture;
 # they differ only in checkpoints/statistics (reference: generate.py:19-48).
 # "tiny" is a miniature same-topology pipeline for smoke tests / CPU runs.
-def preset(category: str = "chairs", num_steps: int = 200) -> PipelineConfig:
+def preset(
+    category: str = "chairs", num_steps: int = 200, use_ddim: bool = False
+) -> PipelineConfig:
     if category == "tiny":
-        return PipelineConfig(
+        cfg = PipelineConfig(
             unet=UNetConfig(
                 image_size=16,
                 in_channels=6,
@@ -199,10 +201,13 @@ def preset(category: str = "chairs", num_steps: int = 200) -> PipelineConfig:
             edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=32, r1=2),
             fit=FitConfig(points_size=4000, batch_points=1000, opt_epochs=2),
             plane_channels=2,
-        ).with_steps(min(num_steps, 10))
+        )
+        steps = min(num_steps, 10)
+        return cfg.with_ddim(steps) if use_ddim else cfg.with_steps(steps)
     if category not in ("chairs", "cars", "planes"):
         raise ValueError(f"unknown category: {category}")
-    return PipelineConfig().with_steps(num_steps)
+    cfg = PipelineConfig()
+    return cfg.with_ddim(num_steps) if use_ddim else cfg.with_steps(num_steps)
 
 
 # The GUI edit pipeline default (drag_utils.py:27): 200 respaced steps.

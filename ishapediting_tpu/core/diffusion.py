@@ -29,7 +29,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ishapediting_tpu.core.schedule import Schedule, extract
+from ishapediting_tpu.core.schedule import Schedule, extract, model_timesteps
 
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Optional[jnp.ndarray]]]
 
@@ -80,6 +80,32 @@ def predict_eps_from_xstart(sched: Schedule, x_t, t, pred_xstart):
 # ---------------------------------------------------------------------------
 
 
+def xstart_model_adapter(base_sched: Schedule, model_fn: ModelFn) -> ModelFn:
+    """Adapt an x0-prediction model (DiffusionConfig.predict_xstart=True,
+    reference ModelMeanType.START_X) to the epsilon contract every sampler
+    here uses: eps = (sqrt(1/abar_t) x_t - x0) / sqrt(1/abar_t - 1).
+
+    ``base_sched`` must be the full (non-respaced) schedule so its arrays are
+    indexed by the original timesteps the model receives."""
+    assert base_sched.num_timesteps == base_sched.original_num_steps, (
+        "pass the full base schedule (timestep_respacing='')"
+    )
+
+    def fn(x, t_model):
+        out, feat = model_fn(x, t_model)
+        t_orig = t_model.astype(jnp.int32)
+        x0_pred, var_values = jnp.split(out.astype(jnp.float32), 2, axis=-1)
+        nd = x.ndim
+        eps = (
+            extract(base_sched.sqrt_recip_alphas_cumprod, t_orig, nd)
+            * x.astype(jnp.float32)
+            - x0_pred
+        ) / extract(base_sched.sqrt_recipm1_alphas_cumprod, t_orig, nd)
+        return jnp.concatenate([eps, var_values], axis=-1), feat
+
+    return fn
+
+
 class PMeanVar(NamedTuple):
     mean: jnp.ndarray
     variance: jnp.ndarray
@@ -101,8 +127,7 @@ def p_mean_variance(
     """Model -> p(x_{t-1} | x_t) with LEARNED_RANGE variance interpolation
     (reference: gaussian_diffusion.py:232-331). ``t`` is respaced, [B]."""
     nd = x.ndim
-    t_orig = sched.timestep_map[t]
-    model_output, feat = model_fn(x, t_orig)
+    model_output, feat = model_fn(x, model_timesteps(sched, t))
     model_output = model_output.astype(jnp.float32)
     c = x.shape[-1]
     assert model_output.shape[-1] == 2 * c, (model_output.shape, c)

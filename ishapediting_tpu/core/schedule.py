@@ -95,6 +95,9 @@ class Schedule:
 
     num_timesteps: int
     original_num_steps: int
+    # pass float t * 1000/original_steps to the model (reference:
+    # respace.py:125-127, gaussian_diffusion.py:356-359)
+    rescale_timesteps: bool
     timestep_map: jnp.ndarray  # [T] int32, original timestep per respaced step
     betas: jnp.ndarray
     log_betas: jnp.ndarray
@@ -120,7 +123,10 @@ class Schedule:
 
 
 def _schedule_from_betas(
-    betas: np.ndarray, timestep_map: np.ndarray, original_num_steps: int
+    betas: np.ndarray,
+    timestep_map: np.ndarray,
+    original_num_steps: int,
+    rescale_timesteps: bool = False,
 ) -> Schedule:
     """Derive every coefficient array in float64 then cast to fp32
     (reference math: gaussian_diffusion.py:133-169)."""
@@ -142,6 +148,7 @@ def _schedule_from_betas(
     return Schedule(
         num_timesteps=int(betas.shape[0]),
         original_num_steps=int(original_num_steps),
+        rescale_timesteps=bool(rescale_timesteps),
         timestep_map=jnp.asarray(timestep_map, dtype=jnp.int32),
         betas=f32(betas),
         log_betas=f32(np.log(betas)),
@@ -168,6 +175,7 @@ def make_schedule(
     base_steps: int = 1000,
     noise_schedule: str = "linear",
     timestep_respacing: str = "",
+    rescale_timesteps: bool = False,
 ) -> Schedule:
     """Build a (possibly respaced) schedule.
 
@@ -193,8 +201,19 @@ def make_schedule(
             last_alpha_cumprod = alpha_cumprod
             timestep_map.append(i)
     return _schedule_from_betas(
-        np.array(new_betas), np.array(timestep_map, dtype=np.int32), base_steps
+        np.array(new_betas),
+        np.array(timestep_map, dtype=np.int32),
+        base_steps,
+        rescale_timesteps,
     )
+
+
+def model_timesteps(sched: Schedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Respaced t -> the value the model's time embedding receives."""
+    t_orig = sched.timestep_map[t]
+    if sched.rescale_timesteps:
+        return t_orig.astype(jnp.float32) * (1000.0 / sched.original_num_steps)
+    return t_orig
 
 
 def extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:

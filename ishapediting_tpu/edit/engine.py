@@ -107,6 +107,16 @@ class DragEngine:
             self.config.diffusion.base_steps,
             self.config.diffusion.noise_schedule,
             self.config.diffusion.timestep_respacing,
+            rescale_timesteps=self.config.diffusion.rescale_timesteps,
+        )
+        self._base_sched: Optional[Schedule] = (
+            make_schedule(
+                self.config.diffusion.base_steps,
+                self.config.diffusion.noise_schedule,
+                "",
+            )
+            if self.config.diffusion.predict_xstart
+            else None
         )
         self.remat = remat
 
@@ -176,6 +186,18 @@ class DragEngine:
             return unet_apply(
                 cfg, params, x, t_orig, feat_layer=feat_layer, remat=remat
             )
+
+        if self._base_sched is not None:
+            # x0-prediction checkpoints -> epsilon contract
+            from ishapediting_tpu.core.diffusion import xstart_model_adapter
+
+            base = self._base_sched
+            raw = fn
+
+            def fn(params, x, t_orig):  # noqa: F811
+                return xstart_model_adapter(
+                    base, lambda xx, tt: raw(params, xx, tt)
+                )(x, t_orig)
 
         return fn
 
@@ -306,8 +328,8 @@ class DragEngine:
         self,
         sources: np.ndarray,
         targets: np.ndarray,
-        scale: float = 600.0,
-        cof: float = 0.2,
+        scale: Optional[float] = None,
+        cof: Optional[float] = None,
         seed: int = 0,
         chunk: int = 10,
         progress_callback: Optional[Callable[[float], None]] = None,
@@ -324,6 +346,8 @@ class DragEngine:
             )
         w_time = self.config.edit.w_time
         edit_cfg = self.config.edit
+        scale = edit_cfg.grad_scale if scale is None else scale
+        cof = edit_cfg.mask_weight if cof is None else cof
         feat_width = self.feature_guidance.shape[-2]
         problem = build_drag_problem(
             sources,
@@ -407,9 +431,7 @@ class DragEngine:
         cache contract), then run the edit-friendly inversion."""
         if tri_feat_path is not None:
             latent = jnp.asarray(latent_from_nchw(np.load(tri_feat_path)))
-            self.mesh = self.get_mesh(latent)
-            self.mesh0 = copy.deepcopy(self.mesh)
-            self.latent_inversion(latent)
+            self.latent_inversion(latent)  # sets mesh/mesh0 from the replay
             return
 
         if mesh is None:
@@ -447,10 +469,10 @@ class DragEngine:
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "tri_feat.npy"), latent_to_nchw(latent))
         self.clear_params()
-        self.mesh = self.get_mesh(latent)
-        self.mesh0 = copy.deepcopy(self.mesh)
-        self.mesh0.write(os.path.join(path, "mesh_recon.obj"))
+        # latent_inversion decodes the replayed sample (== latent exactly, by
+        # the replay identity) — one decode serves both mesh and mesh0.
         self.latent_inversion(latent)
+        self.mesh0.write(os.path.join(path, "mesh_recon.obj"))
 
     def fit_real_shape_direct(
         self,

@@ -183,7 +183,7 @@ def grid_to_mesh(
     try:
         from ishapediting_tpu.native import native_marching_tetrahedra
 
-        mesh = native_marching_tetrahedra(grid, iso)
+        mesh = native_marching_tetrahedra(grid, iso).remove_degenerate_triangles()
     except Exception:
         mesh = marching_tetrahedra(grid, iso)
     if to_unit:

@@ -59,6 +59,8 @@ class Layer:
     out_ch: int
     updown: str = "none"  # for 'res': 'none' | 'up' | 'down'
     heads: int = 0  # for 'attn'
+    scale_shift: bool = True  # for 'res': FiLM vs additive time embedding
+    use_conv: bool = True  # for 'downsample'/'upsample'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +84,7 @@ def build_layout(cfg: UNetConfig) -> Layout:
     """Replicates the constructor wiring of the reference UNet
     (unet.py:480-616) as a static description."""
     mc = cfg.model_channels
+    ssn = cfg.use_scale_shift_norm
     ch = int(cfg.channel_mult[0] * mc)
     input_blocks: List[Tuple[Layer, ...]] = [
         (Layer("conv", cfg.in_channels, ch),)
@@ -90,7 +93,7 @@ def build_layout(cfg: UNetConfig) -> Layout:
     ds = 1
     for level, mult in enumerate(cfg.channel_mult):
         for _ in range(cfg.num_res_blocks):
-            layers = [Layer("res", ch, int(mult * mc))]
+            layers = [Layer("res", ch, int(mult * mc), scale_shift=ssn)]
             ch = int(mult * mc)
             if ds in cfg.attention_ds:
                 layers.append(Layer("attn", ch, ch, heads=_num_heads(cfg, ch, False)))
@@ -99,32 +102,38 @@ def build_layout(cfg: UNetConfig) -> Layout:
         if level != len(cfg.channel_mult) - 1:
             out_ch = ch
             if cfg.resblock_updown:
-                input_blocks.append((Layer("res", ch, out_ch, updown="down"),))
+                input_blocks.append(
+                    (Layer("res", ch, out_ch, updown="down", scale_shift=ssn),)
+                )
             else:
-                input_blocks.append((Layer("downsample", ch, out_ch),))
+                input_blocks.append(
+                    (Layer("downsample", ch, out_ch, use_conv=cfg.conv_resample),)
+                )
             ch = out_ch
             input_block_chans.append(ch)
             ds *= 2
 
     middle = (
-        Layer("res", ch, ch),
+        Layer("res", ch, ch, scale_shift=ssn),
         Layer("attn", ch, ch, heads=_num_heads(cfg, ch, False)),
-        Layer("res", ch, ch),
+        Layer("res", ch, ch, scale_shift=ssn),
     )
 
     output_blocks: List[Tuple[Layer, ...]] = []
     for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
         for i in range(cfg.num_res_blocks + 1):
             ich = input_block_chans.pop()
-            layers = [Layer("res", ch + ich, int(mc * mult))]
+            layers = [Layer("res", ch + ich, int(mc * mult), scale_shift=ssn)]
             ch = int(mc * mult)
             if ds in cfg.attention_ds:
                 layers.append(Layer("attn", ch, ch, heads=_num_heads(cfg, ch, True)))
             if level and i == cfg.num_res_blocks:
                 if cfg.resblock_updown:
-                    layers.append(Layer("res", ch, ch, updown="up"))
+                    layers.append(Layer("res", ch, ch, updown="up", scale_shift=ssn))
                 else:
-                    layers.append(Layer("upsample", ch, ch))
+                    layers.append(
+                        Layer("upsample", ch, ch, use_conv=cfg.conv_resample)
+                    )
                 ds //= 2
             output_blocks.append(tuple(layers))
 
@@ -201,7 +210,7 @@ def _init_layer(key, prefix: str, layer: Layer, emb_ch: int, params: Params):
         params[f"{prefix}.in_layers.2"] = _init_conv(
             keys[0], 3, 3, layer.in_ch, layer.out_ch
         )
-        emb_out = 2 * layer.out_ch  # scale-shift norm
+        emb_out = 2 * layer.out_ch if layer.scale_shift else layer.out_ch
         params[f"{prefix}.emb_layers.1"] = _init_linear(keys[1], emb_ch, emb_out)
         params[f"{prefix}.out_layers.0"] = _init_gn(layer.out_ch)
         params[f"{prefix}.out_layers.3"] = _init_conv(
@@ -217,9 +226,15 @@ def _init_layer(key, prefix: str, layer: Layer, emb_ch: int, params: Params):
         params[f"{prefix}.qkv"] = _init_linear(keys[0], ch, 3 * ch)
         params[f"{prefix}.proj_out"] = _init_linear(keys[1], ch, ch, zero=True)
     elif layer.kind == "downsample":
-        params[f"{prefix}.op"] = _init_conv(keys[0], 3, 3, layer.in_ch, layer.out_ch)
+        if layer.use_conv:
+            params[f"{prefix}.op"] = _init_conv(
+                keys[0], 3, 3, layer.in_ch, layer.out_ch
+            )
     elif layer.kind == "upsample":
-        params[f"{prefix}.conv"] = _init_conv(keys[0], 3, 3, layer.in_ch, layer.out_ch)
+        if layer.use_conv:
+            params[f"{prefix}.conv"] = _init_conv(
+                keys[0], 3, 3, layer.in_ch, layer.out_ch
+            )
     else:  # pragma: no cover
         raise ValueError(layer.kind)
 
@@ -291,10 +306,16 @@ def _apply_res(
 
     el = p[f"{prefix}.emb_layers.1"]
     emb_out = linear(silu(emb), el["w"], el["b"]).astype(hh.dtype)
-    scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
 
     gn2 = p[f"{prefix}.out_layers.0"]
-    hh = group_norm(hh, gn2["scale"], gn2["bias"]) * (1 + scale) + shift
+    if layer.scale_shift:
+        scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+        hh = group_norm(hh, gn2["scale"], gn2["bias"]) * (1 + scale) + shift
+    else:
+        # additive time embedding (reference: unet.py:253-255)
+        hh = group_norm(
+            hh + emb_out[:, None, None, :], gn2["scale"], gn2["bias"]
+        )
     hh = silu(hh)
     if dropout_rng is not None and dropout > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, hh.shape)
@@ -338,11 +359,16 @@ def _apply_layer(
     if layer.kind == "attn":
         return _apply_attn(p, prefix, layer, h)
     if layer.kind == "downsample":
+        if not layer.use_conv:
+            return avg_pool_2x(h)
         c = p[f"{prefix}.op"]
         return conv2d(h, c["w"], c["b"], stride=2, padding=1)
     if layer.kind == "upsample":
+        h = nearest_upsample_2x(h)
+        if not layer.use_conv:
+            return h
         c = p[f"{prefix}.conv"]
-        return conv2d(nearest_upsample_2x(h), c["w"], c["b"], padding=1)
+        return conv2d(h, c["w"], c["b"], padding=1)
     raise ValueError(layer.kind)  # pragma: no cover
 
 

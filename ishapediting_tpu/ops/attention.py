@@ -6,9 +6,10 @@ outermost, q/k/v inner), attention logits use the double-sqrt scaling
 ``(q/ch^0.25) @ (k/ch^0.25)`` and the softmax runs in fp32.
 
 The largest sequence in the published model is 32^2 = 1024 tokens at 512
-channels (SURVEY.md §5.7), so dense attention fits in VMEM comfortably and
-XLA fuses this well; a Pallas fused variant is in ops/pallas_kernels.py and
-is selected automatically for supported shapes.
+channels (SURVEY.md §5.7), so dense attention is a negligible fraction of
+the forward cost and XLA's fused matmul+softmax lowering is sufficient; a
+hand-written Pallas kernel was evaluated and rejected because Mosaic is not
+functional on the current target backend (docs/PERF.md).
 """
 
 from __future__ import annotations

@@ -25,9 +25,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host rendezvous (no-op on a single host)."""
-    if jax.process_count() > 1 or kwargs:
+    """Multi-host rendezvous. Call BEFORE any other JAX API (touching the
+    backend first makes a later ``jax.distributed.initialize`` invalid).
+
+    With explicit kwargs (coordinator_address etc.) failures propagate; with
+    no kwargs we attempt auto-detection (TPU pods, SLURM, ...) and fall back
+    to single-process mode when no coordinator environment exists."""
+    try:
         jax.distributed.initialize(**kwargs)
+    except Exception:
+        if kwargs:
+            raise
 
 
 def make_mesh(

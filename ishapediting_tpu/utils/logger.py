@@ -194,6 +194,38 @@ def profile_kv(name: str):
         yield
 
 
+def distributed_mean_kvs(kvs: Dict, counts: Optional[Dict] = None) -> Dict:
+    """Weighted mean of kv dicts across JAX processes (the multihost
+    equivalent of the reference's mpi_weighted_mean, logger.py:414-441).
+    No-op on a single process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(kvs)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    keys = sorted(kvs)
+    # guard against heterogeneous key sets (which would silently average
+    # mismatched metrics): compare a key-vocabulary digest across processes
+    import zlib
+
+    digest = zlib.crc32("\x00".join(keys).encode()) & 0x7FFFFFFF
+    digests = multihost_utils.process_allgather(jnp.asarray([digest]))
+    if int(jnp.min(digests)) != int(jnp.max(digests)):
+        raise ValueError(
+            "distributed_mean_kvs requires identical kv keys on every "
+            "process; log the same metrics everywhere (use 0 counts to "
+            "mask missing values)"
+        )
+    vals = jnp.asarray([float(kvs[k]) for k in keys])
+    wts = jnp.asarray([float((counts or {}).get(k, 1.0)) for k in keys])
+    gathered_v = multihost_utils.process_allgather(vals * wts)
+    gathered_w = multihost_utils.process_allgather(wts)
+    mean = gathered_v.sum(axis=0) / gathered_w.sum(axis=0)
+    return {k: float(mean[i]) for i, k in enumerate(keys)}
+
+
 @contextlib.contextmanager
 def trace_annotation(name: str):
     """Annotate a region in the jax profiler timeline."""

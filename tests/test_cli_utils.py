@@ -85,3 +85,24 @@ def test_generate_cli_smoke(tmp_path):
     tri = np.load(tmp_path / "triplanes" / "0.npy")
     assert tri.shape == (6, 16, 16)  # NCHW reference contract
     assert os.path.exists(tmp_path / "objects" / "0.obj")
+
+
+def test_distributed_mean_kvs_single_process():
+    from ishapediting_tpu.utils.logger import distributed_mean_kvs
+
+    out = distributed_mean_kvs({"loss": 1.5, "acc": 0.5})
+    assert out == {"loss": 1.5, "acc": 0.5}
+
+
+def test_generate_cli_tiny_default_steps(tmp_path):
+    """Regression: default --num_steps must not crash the tiny preset
+    (preset clamps; the CLI must not re-apply respacing)."""
+    import ishapediting_tpu.cli.generate as gen
+
+    gen.main([
+        "--random_init", "--preset", "tiny",
+        "--num_samples", "1", "--batch_size", "1",
+        "--shape_resolution", "8", "--skip_decode",
+        "--save_dir", str(tmp_path),
+    ])
+    assert os.path.exists(tmp_path / "triplanes" / "0.npy")

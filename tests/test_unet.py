@@ -140,3 +140,56 @@ def test_param_count_published():
     total += 2 * layout.out_ch_final
     total += conv_n(3, layout.out_ch_final, cfg.out_channels)
     assert 3e8 < total < 9e8, total
+
+
+def test_additive_emb_and_conv_resample_variants():
+    """use_scale_shift_norm=False and conv_resample/resblock_updown=False must
+    build and run (reference: unet.py:253-255, 100-140)."""
+    import dataclasses
+
+    for ssn, conv_rs in [(False, True), (True, False), (False, False)]:
+        cfg = dataclasses.replace(
+            TINY, use_scale_shift_norm=ssn, resblock_updown=False,
+            conv_resample=conv_rs,
+        )
+        params = init_unet_params(jax.random.PRNGKey(0), cfg)
+        out, _ = unet_apply(cfg, params, jnp.ones((1, 16, 16, 6)), jnp.array([3]))
+        assert out.shape == (1, 16, 16, 12)
+        assert np.isfinite(np.asarray(out)).all()
+        # emb projection width follows the variant
+        emb_w = params["input_blocks.1.0.emb_layers.1"]["w"]
+        out_ch = TINY.model_channels
+        expect = 2 * out_ch if ssn else out_ch
+        assert emb_w.shape[1] == expect, (ssn, emb_w.shape)
+
+
+def test_rescale_timesteps_and_xstart_adapter():
+    from ishapediting_tpu.core.diffusion import (
+        p_mean_variance,
+        xstart_model_adapter,
+    )
+    from ishapediting_tpu.core.schedule import make_schedule, model_timesteps
+
+    sched = make_schedule(100, "linear", "10", rescale_timesteps=True)
+    ts = model_timesteps(sched, jnp.array([9]))
+    assert ts.dtype == jnp.float32
+    assert float(ts[0]) == pytest.approx(99 * 1000 / 100)
+
+    # x0-prediction model == eps model after adaptation
+    base = make_schedule(100, "linear", "")
+    sched10 = make_schedule(100, "linear", "10")
+
+    x0_const = 0.3
+
+    def xstart_model(x, t_orig):
+        out = jnp.concatenate(
+            [jnp.full_like(x, x0_const), jnp.zeros_like(x)], axis=-1
+        )
+        return out, None
+
+    adapted = xstart_model_adapter(base, xstart_model)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 6))
+    out = p_mean_variance(sched10, adapted, x, jnp.array([5]), clip_denoised=False)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_xstart), x0_const, atol=1e-5
+    )
