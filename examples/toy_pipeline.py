@@ -83,9 +83,14 @@ def main(argv=None):
             pts = np.concatenate([u, s], axis=0)
             yield obj, pts, occupancy(obj, pts)
 
+    from ishapediting_tpu.io.checkpoint import load_params, save_params
+
+    ckpt = os.path.join(args.out, "toy_ckpt.orbax")
+    cached = os.path.isdir(ckpt)
+
     logger.log("=== training decoder + plane bank ===")
     PLANE_RES, PLANE_CH = args.plane_res, 8
-    dec_params, bank = train_decoder(
+    dec_params, bank = (None, None) if cached else train_decoder(
         dec_batches(),
         num_objs=n,
         steps=args.decoder_steps,
@@ -101,6 +106,11 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # 2. normalization stats from the bank, latents in [-1, 1]
     # ------------------------------------------------------------------
+    if cached:
+        logger.log(f"loading cached toy checkpoint {ckpt}")
+        blob = load_params(ckpt)
+        dec_params = blob["dec"]
+        bank = jnp.asarray(blob["bank"])
     bank_np = np.asarray(bank)  # [n, 3, H, W, C]
     flat = bank_np.transpose(0, 2, 3, 1, 4).reshape(n, PLANE_RES, PLANE_RES, 3 * PLANE_CH)
     # z-score-style normalization (±2.5 sigma -> [-1, 1]): DDPM training needs
@@ -144,18 +154,24 @@ def main(argv=None):
 
     from ishapediting_tpu.models.unet import init_unet_params
 
-    logger.log("=== training tiny triplane DDPM ===")
-    state = train(
-        cfg.unet,
-        train_sched,
-        init_unet_params(jax.random.PRNGKey(args.seed), cfg.unet),
-        ddpm_batches(),
-        total_steps=args.ddpm_steps,
-        ckpt_dir=None,
-        lr=args.lr,
-        log_every=max(args.ddpm_steps // 10, 1),
-        ema_rate=0.999,
-    )
+    if cached:
+        ema_params = load_params(ckpt)["ema"]
+    else:
+        logger.log("=== training tiny triplane DDPM ===")
+        state = train(
+            cfg.unet,
+            train_sched,
+            init_unet_params(jax.random.PRNGKey(args.seed), cfg.unet),
+            ddpm_batches(),
+            total_steps=args.ddpm_steps,
+            ckpt_dir=None,
+            lr=args.lr,
+            log_every=max(args.ddpm_steps // 10, 1),
+            ema_rate=0.999,
+        )
+        ema_params = state.ema_params
+        save_params(ckpt, {"dec": dec_params, "bank": np.asarray(bank),
+                           "ema": ema_params})
 
     # ------------------------------------------------------------------
     # 4. sample a shape + cache guidance features
@@ -163,7 +179,7 @@ def main(argv=None):
     logger.log("=== sampling + editing ===")
     engine = DragEngine(
         cfg,
-        unet_params=state.ema_params,
+        unet_params=ema_params,
         decoder_params=dec_params,
         stats=stats,
         remat=False,
@@ -213,35 +229,48 @@ def main(argv=None):
 
     x0 = engine.update_latent_params(seed=args.seed + 7)  # [1, H, W, 24]
     dist_report("engine ddpm-25 sample", x0)
+
+    # ------------------------------------------------------------------
+    # 5. drag edit via the REAL-SHAPE workflow (BASELINE config 5):
+    #    invert a known latent (exact replay) and edit from there. With a
+    #    4-12-sample toy DDPM the from-noise samples are off-manifold at
+    #    high t, but the inversion-anchored edit stays in the regime the
+    #    model has actually learned (re-denoise diagnostics above).
+    # ------------------------------------------------------------------
+    engine.config = dataclasses.replace(
+        engine.config, edit=dataclasses.replace(engine.config.edit, w_time=12)
+    )
+    engine.latent_inversion(jnp.asarray(latents[0][None]))
     original = engine.mesh0
     original.write(os.path.join(args.out, "original.obj"))
-    if len(original.vertices) == 0:
-        logger.log("sampled mesh is EMPTY — model sample off-manifold; aborting edit demo")
-        return {"original": original, "edited": None, "delta_x": None, "engine": engine}
     ox = original.vertices[:, 0]
     logger.log(
-        f"original mesh: {len(original.vertices)} verts, "
+        f"inverted mesh: {len(original.vertices)} verts, "
         f"x-extent [{ox.min():.3f}, {ox.max():.3f}]"
     )
 
-    # 5. drag the +x pole outward
     handle = original.vertices[np.argmax(ox)].astype(np.float32)
     target = handle + np.array([0.25, 0, 0], np.float32)
     edited = engine.drag_edit(
-        handle[None], target[None], scale=args.drag_scale, cof=0.2, seed=args.seed
+        handle[None], target[None], scale=args.drag_scale, cof=0.2,
+        seed=args.seed, chunk=4,
     )
     edited.write(os.path.join(args.out, "edited.obj"))
-    ex = edited.vertices[:, 0]
-    logger.log(
-        f"edited mesh:   {len(edited.vertices)} verts, "
-        f"x-extent [{ex.min():.3f}, {ex.max():.3f}]"
-    )
-    delta = ex.max() - ox.max()
-    logger.log(f"drag moved +x surface by {delta:+.3f} (target +0.25)")
+    if len(edited.vertices) == 0:
+        logger.log("edited mesh empty — edit diverged")
+        delta = None
+    else:
+        ex = edited.vertices[:, 0]
+        logger.log(
+            f"edited mesh:   {len(edited.vertices)} verts, "
+            f"x-extent [{ex.min():.3f}, {ex.max():.3f}]"
+        )
+        delta = float(ex.max() - ox.max())
+        logger.log(f"drag moved +x surface by {delta:+.3f} (target +0.25)")
     return {
         "original": original,
         "edited": edited,
-        "delta_x": float(delta),
+        "delta_x": delta,
         "engine": engine,
     }
 

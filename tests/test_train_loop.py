@@ -105,3 +105,41 @@ def test_decoder_training_learns_sphere(rng):
     truth = np.linalg.norm(test_pts, axis=1) < 0.5
     acc = (pred == truth).mean()
     assert acc > 0.9, acc
+
+
+@pytest.mark.slow
+def test_ddpm_learns_and_redenoises_tiny_dataset(rng):
+    """Train<->sample consistency with a real learned model: after training
+    on a 4-latent dataset, re-denoising a moderately-noised training latent
+    must return close to it (validates the whole train+sample stack; the
+    sampler alone is validated analytically in test_diffusion)."""
+    from ishapediting_tpu.core.diffusion import q_sample, sample_partial
+    from ishapediting_tpu.models.unet import unet_apply
+
+    cfg = TINY  # 8x8x6, fp32
+    sched = make_schedule(100, "linear", "")
+    data = np.clip(rng.standard_normal((4, 8, 8, 6)).astype(np.float32) * 0.4, -1, 1)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    from ishapediting_tpu.train.trainer import make_optimizer, make_train_step, init_train_state
+
+    opt = make_optimizer(1e-3)
+    step = jax.jit(make_train_step(cfg, sched, opt, remat=False, ema_rate=0.99))
+    state = init_train_state(params, opt)
+    for i in range(1500):
+        idx = rng.integers(0, 4, 8)
+        state, metrics = step(state, jnp.asarray(data[idx]), jax.random.PRNGKey(i))
+    assert float(metrics["mse"]) < 0.08
+
+    p = state.ema_params
+    mf = lambda x, t: unet_apply(cfg, p, x, t)
+    t0 = 30
+    noised = q_sample(
+        sched, jnp.asarray(data[:1]), jnp.full((1,), t0, jnp.int32),
+        jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 6)),
+    )
+    redo = np.asarray(
+        sample_partial(sched, mf, noised, jax.random.PRNGKey(4), t_start=t0)["sample"]
+    )
+    dist = np.linalg.norm(redo[0] - data[0])
+    norm = np.linalg.norm(data[0])
+    assert dist < 0.4 * norm, (dist, norm)
