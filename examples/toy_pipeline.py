@@ -6,12 +6,20 @@ pretrained assets needed):
 1. procedurally generate sphere shapes (analytic occupancy),
 2. jointly train the shared occupancy decoder + per-shape triplanes,
 3. train a tiny triplane DDPM on those latents,
-4. sample a new shape from noise with guidance-feature caching,
-5. drag-edit it and check the surface actually followed the handle.
+4. run sampler/manifold diagnostics,
+5. invert a latent (real-shape workflow) and drag its +x pole outward,
+   checking the surface actually followed the handle.
 
-Runs on CPU in ~5-10 minutes:
+Measured on the target chip (seed 0, defaults): the drag moves the +x
+surface by +0.23 of the +0.25 request at scale=1000 while the rest of the
+sphere stays put; scale=300 is too weak (+0.003) and scale=10000 over-drives
+and destroys the shape — the same guidance-scale behavior the reference GUI
+exposes as its "Scale" knob (main.py:102).
 
-    JAX_PLATFORMS=cpu python examples/toy_pipeline.py --out /tmp/toy
+First run trains (~25 min on the toy chip / CPU); the trained state is
+cached under --out, so subsequent runs jump straight to editing:
+
+    python examples/toy_pipeline.py --out /tmp/toy --drag_scale 1000
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ def main(argv=None):
     p.add_argument("--ddpm_steps", type=int, default=8000)
     p.add_argument("--plane_res", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--drag_scale", type=float, default=300.0)
+    p.add_argument("--drag_scale", type=float, default=1000.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
