@@ -106,18 +106,33 @@ def make_drag_step(
     loss_type: str = "l2",
     clip_denoised: bool = True,
 ):
-    """Build the per-step function (x_t, t, origin_feat, rng) -> x_{t-1}.
+    """Build the per-step function
+    ``(x_t, t, origin_feat, rng, variance_override, variance_noise) -> x_{t-1}``.
 
     ``model_fn_feat`` must return the tapped feature; the closure regroups it
     into plane features before the loss.
+
+    The two optional per-step overrides reproduce the reference's edit-mode
+    variants (drag_utils.py:342-346, 388-390):
+    - ``variance_override``: fresh noise, but the inversion-recorded variance
+      (case 1 "fix variance");
+    - ``variance_noise``: the full recorded residual replayed, no fresh noise
+      (exact-replay editing). Pass None for the shipped default (case 2).
     """
 
-    def step(img, t, origin_feat, rng):
+    def step(img, t, origin_feat, rng, variance_override=None, variance_noise=None):
         tb = jnp.full((img.shape[0],), t, jnp.int32)
 
         def loss_fn(im):
             out = p_sample_guidance(
-                sched, model_fn_feat, im, tb, rng, clip_denoised=clip_denoised
+                sched,
+                model_fn_feat,
+                im,
+                tb,
+                rng,
+                variance=variance_override,
+                variance_noise=variance_noise,
+                clip_denoised=clip_denoised,
             )
             edit_feat = regroup_features(out["inter_feat"])[0]  # [3,s,s,C]
             motion, mask = drag_losses(edit_feat, origin_feat, problem, loss_type)

@@ -129,6 +129,7 @@ class DragEngine:
         self.variance_noise: Optional[jnp.ndarray] = None
         self.mesh: Optional[TriMesh] = None
         self.mesh0: Optional[TriMesh] = None
+        self.edited_latent: Optional[np.ndarray] = None  # last drag result
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
@@ -332,13 +333,22 @@ class DragEngine:
         cof: Optional[float] = None,
         seed: int = 0,
         chunk: int = 10,
+        noise_mode: str = "resample",
         progress_callback: Optional[Callable[[float], None]] = None,
     ) -> TriMesh:
         """Run the guided edit from ``w``; returns (and caches) the edited
         mesh. ``scale``/``cof`` are traced scalars — changing them does not
         recompile. Cooperative stop: set ``engine.train_flag = False``; the
         remaining steps run unguided exactly like the reference
-        (drag_utils.py:337-339,399)."""
+        (drag_utils.py:337-339,399).
+
+        ``noise_mode`` (the reference's commented edit-mode variants,
+        drag_utils.py:342-346, 388-396):
+        - "resample" (shipped default, case 2): fresh noise each step;
+        - "fixed_variance" (case 1): fresh noise, inversion-recorded variance;
+        - "replay": inversion-recorded variance_noise replayed exactly.
+        The last two require a preceding ``latent_inversion``/real-shape fit.
+        """
         if self.w is None or self.feature_guidance is None:
             raise RuntimeError(
                 "no cached latent: call update_latent_params() or "
@@ -348,6 +358,15 @@ class DragEngine:
         edit_cfg = self.config.edit
         scale = edit_cfg.grad_scale if scale is None else scale
         cof = edit_cfg.mask_weight if cof is None else cof
+        if noise_mode not in ("resample", "fixed_variance", "replay"):
+            raise ValueError(f"unknown noise_mode {noise_mode!r}")
+        if noise_mode != "resample" and (
+            self.variances is None or self.variance_noise is None
+        ):
+            raise RuntimeError(
+                f"noise_mode={noise_mode!r} needs inversion-recorded "
+                "variances: run latent_inversion()/fit_real_shape() first"
+            )
         feat_width = self.feature_guidance.shape[-2]
         problem = build_drag_problem(
             sources,
@@ -360,9 +379,13 @@ class DragEngine:
 
         n_handles = problem.patch_grid.shape[1]
         step_fn = self._jit(
-            ("drag_chunk", chunk, n_handles, edit_cfg.loss_type),
+            ("drag_chunk", chunk, n_handles, edit_cfg.loss_type, noise_mode),
             lambda: jax.jit(
-                partial(self._drag_chunk_fn, loss_type=edit_cfg.loss_type)
+                partial(
+                    self._drag_chunk_fn,
+                    loss_type=edit_cfg.loss_type,
+                    noise_mode=noise_mode,
+                )
             ),
         )
 
@@ -376,11 +399,22 @@ class DragEngine:
             feats = jax.lax.dynamic_slice_in_dim(
                 self.feature_guidance, w_time - t, n, axis=0
             )
+            if noise_mode == "resample":
+                var_slice = vn_slice = jnp.zeros((n,), jnp.float32)  # unused
+            else:
+                var_slice = jax.lax.dynamic_slice_in_dim(
+                    self.variances, w_time - t, n, axis=0
+                )
+                vn_slice = jax.lax.dynamic_slice_in_dim(
+                    self.variance_noise, w_time - t, n, axis=0
+                )
             img = step_fn(
                 self.unet_params,
                 img,
                 jnp.asarray(ts),
                 feats,
+                var_slice,
+                vn_slice,
                 rng,
                 problem,
                 jnp.asarray(scale, jnp.float32),
@@ -392,10 +426,14 @@ class DragEngine:
             if not self.train_flag:
                 stop_time = t
                 break
+        self.edited_latent = np.asarray(img)
         self.mesh = self.get_mesh(img, t=stop_time)
         return self.mesh
 
-    def _drag_chunk_fn(self, params, img, ts, feats, rng, problem, scale, cof, *, loss_type):
+    def _drag_chunk_fn(
+        self, params, img, ts, feats, variances, variance_noises, rng,
+        problem, scale, cof, *, loss_type, noise_mode="resample",
+    ):
         step = make_drag_step(
             self.sched,
             partial(self._model_fn_p(feat=True, remat=self.remat), params),
@@ -407,10 +445,17 @@ class DragEngine:
         )
 
         def body(im, inp):
-            t, feat = inp
-            return step(im, t, feat, jax.random.fold_in(rng, t)), None
+            t, feat, var, vn = inp
+            key = jax.random.fold_in(rng, t)
+            if noise_mode == "fixed_variance":
+                return step(im, t, feat, key, variance_override=var), None
+            if noise_mode == "replay":
+                return step(im, t, feat, key, variance_noise=vn), None
+            return step(im, t, feat, key), None
 
-        img, _ = jax.lax.scan(body, img.astype(jnp.float32), (ts, feats))
+        img, _ = jax.lax.scan(
+            body, img.astype(jnp.float32), (ts, feats, variances, variance_noises)
+        )
         return img
 
     # ------------------------------------------------------------------

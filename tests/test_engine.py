@@ -155,3 +155,29 @@ def test_latent_nchw_roundtrip(rng):
     back = latent_from_nchw(latent_to_nchw(x))
     np.testing.assert_array_equal(x, back)
     assert latent_to_nchw(x).shape == (1, 6, 8, 8)
+
+
+def test_drag_noise_modes_and_replay_identity(engine):
+    """noise_mode variants (reference's commented case-1/replay modes,
+    drag_utils.py:342-346,388-396). With scale=0 the 'replay' mode must
+    reproduce the inversion trajectory exactly -> identical mesh."""
+    x0 = engine.update_latent_params(seed=11)
+    with pytest.raises(RuntimeError):
+        engine.drag_edit(
+            np.array([[0.2, 0, 0]]), np.array([[0.3, 0, 0]]),
+            noise_mode="replay",
+        )
+    engine.latent_inversion(jnp.asarray(x0))
+
+    src = np.array([[0.2, 0.0, 0.0]])
+    tgt = np.array([[0.3, 0.0, 0.0]])
+    engine.drag_edit(src, tgt, scale=0.0, cof=0.2, noise_mode="replay", chunk=3)
+    # zero-scale replay must walk the exact inversion trajectory back to x0
+    np.testing.assert_allclose(engine.edited_latent, x0, atol=1e-4)
+
+    # the other modes run and produce valid meshes
+    for mode in ("fixed_variance", "resample"):
+        m = engine.drag_edit(src, tgt, scale=50.0, cof=0.2, noise_mode=mode, chunk=3)
+        assert np.isfinite(m.vertices).all()
+    with pytest.raises(ValueError):
+        engine.drag_edit(src, tgt, noise_mode="bogus")
