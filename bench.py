@@ -102,12 +102,19 @@ def main():
     float(np.asarray(jnp.sum(out)))
     compile_s = time.perf_counter() - t0
 
+    import os
+
+    trace_dir = os.environ.get("ISHAPE_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = fn(params, x_T, jax.random.PRNGKey(3 + i))
         float(np.asarray(jnp.sum(out)))
         times.append(time.perf_counter() - t0)
+    if trace_dir:
+        jax.profiler.stop_trace()
     assert np.isfinite(np.asarray(out)).all()
     best = min(times)
     samples_per_sec = BATCH / best

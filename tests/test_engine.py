@@ -181,3 +181,16 @@ def test_drag_noise_modes_and_replay_identity(engine):
         assert np.isfinite(m.vertices).all()
     with pytest.raises(ValueError):
         engine.drag_edit(src, tgt, noise_mode="bogus")
+
+
+def test_predict_xstart_config_path():
+    """DiffusionConfig.predict_xstart wires the x0->eps adapter through the
+    engine (previously a dead flag)."""
+    cfg = dataclasses.replace(
+        TINY_PIPELINE,
+        diffusion=dataclasses.replace(TINY_PIPELINE.diffusion, predict_xstart=True),
+    )
+    eng = DragEngine(cfg, seed=0)
+    x0 = eng.update_latent_params(seed=1)
+    assert x0.shape == (1, 16, 16, 6)
+    assert np.isfinite(x0).all()
