@@ -96,6 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam", type=float, default=0.2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited")
+    p.add_argument("--render", action="store_true",
+                   help="also save before/after PNG renders (headless)")
     return p
 
 
@@ -155,6 +157,10 @@ def main(argv=None):
         engine.update_latent_params(seed=seed)
 
     engine.mesh0.write(os.path.join(args.out, "original.obj"))
+    if args.render:
+        from ishapediting_tpu.geometry.render import render_mesh
+
+        render_mesh(engine.mesh0, save_path=os.path.join(args.out, "original.png"))
 
     for edit_id, spec in edits.items():
         print(
@@ -171,6 +177,10 @@ def main(argv=None):
         )
         out_path = os.path.join(args.out, f"edit{edit_id}.obj")
         mesh.write(out_path)
+        if args.render:
+            from ishapediting_tpu.geometry.render import render_mesh
+
+            render_mesh(mesh, save_path=os.path.join(args.out, f"edit{edit_id}.png"))
         write_edit_log(
             os.path.join(args.out, "EditLog"),
             edit_id,

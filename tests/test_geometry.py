@@ -184,3 +184,19 @@ def test_smoothing_shrinks_noise(rng):
     r_noisy = np.linalg.norm(noisy.vertices, axis=1)
     r_smooth = np.linalg.norm(smoothed.vertices, axis=1)
     assert r_smooth.std() < r_noisy.std()
+
+
+def test_render_mesh(tmp_path):
+    from ishapediting_tpu.geometry.render import render_mesh
+
+    mesh = grid_to_mesh(sphere_grid(32, 0.5))
+    img = render_mesh(mesh, size=128, save_path=str(tmp_path / "r.png"))
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    # sphere silhouette: center is shaded, corners stay background white
+    assert (img[64, 64] < 250).any()
+    assert (img[2, 2] == 255).all()
+    assert os.path.exists(tmp_path / "r.png")
+    # empty mesh renders clean background
+    from ishapediting_tpu.geometry.mesh import TriMesh
+    empty = render_mesh(TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64)), size=32)
+    assert (empty == 255).all()
