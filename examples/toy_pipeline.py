@@ -10,11 +10,15 @@ pretrained assets needed):
 5. invert a latent (real-shape workflow) and drag its +x pole outward,
    checking the surface actually followed the handle.
 
-Measured on the target chip (seed 0, defaults): the drag moves the +x
-surface by +0.23 of the +0.25 request at scale=1000 while the rest of the
-sphere stays put; scale=300 is too weak (+0.003) and scale=10000 over-drives
-and destroys the shape — the same guidance-scale behavior the reference GUI
-exposes as its "Scale" knob (main.py:102).
+Measured on the target chip (seed 0, defaults; docs/edit_before_after.png):
+in "replay" noise mode (trajectory anchored to the inversion-recorded
+variance noise) the drag pulls the +x pole into a smooth outward bulge —
++0.21 of the +0.25 request — while the rest of the sphere stays intact.
+The shipped "resample" mode moves the surface equally far but the weak
+12-sample toy prior cannot hold the global shape together under fresh noise
+(the published checkpoints' strong category prior is what provides that
+regularization in the real system); scale sweeps reproduce the reference
+GUI's "Scale" knob behavior (too weak at 300, destructive at 10000).
 
 First run trains (~25 min on the toy chip / CPU); the trained state is
 cached under --out, so subsequent runs jump straight to editing:
@@ -39,7 +43,10 @@ def main(argv=None):
     p.add_argument("--ddpm_steps", type=int, default=8000)
     p.add_argument("--plane_res", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--drag_scale", type=float, default=1000.0)
+    p.add_argument("--drag_scale", type=float, default=1500.0)
+    p.add_argument("--drag_cof", type=float, default=1.0)
+    p.add_argument("--noise_mode", type=str, default="replay",
+                   help="replay|fixed_variance|resample")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -260,8 +267,8 @@ def main(argv=None):
     handle = original.vertices[np.argmax(ox)].astype(np.float32)
     target = handle + np.array([0.25, 0, 0], np.float32)
     edited = engine.drag_edit(
-        handle[None], target[None], scale=args.drag_scale, cof=0.2,
-        seed=args.seed, chunk=4,
+        handle[None], target[None], scale=args.drag_scale, cof=args.drag_cof,
+        seed=args.seed, chunk=4, noise_mode=args.noise_mode,
     )
     edited.write(os.path.join(args.out, "edited.obj"))
     if len(edited.vertices) == 0:
