@@ -30,12 +30,23 @@ def initialize_distributed(**kwargs) -> None:
 
     With explicit kwargs (coordinator_address etc.) failures propagate; with
     no kwargs we attempt auto-detection (TPU pods, SLURM, ...) and fall back
-    to single-process mode when no coordinator environment exists."""
+    to single-process mode when no coordinator environment exists — but the
+    failure is LOGGED, never silent, so a misconfigured multi-host launch is
+    visible instead of degrading to world size 1 quietly."""
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
+    except Exception as e:
         if kwargs:
             raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize() auto-detection failed (%s: %s); "
+            "continuing single-process. Pass coordinator_address/... "
+            "explicitly for multi-host.",
+            type(e).__name__,
+            e,
+        )
 
 
 def make_mesh(
