@@ -390,15 +390,22 @@ def ddpm_inversion(
     the backward UNet evaluations are independent across t: we batch them
     through the model in ``chunk``-sized groups instead of a serial loop.
 
+    ``x0`` may carry a batch axis of any size B — all trajectories invert in
+    the same program (the reference is strictly single-shape,
+    drag_utils.py:552-566; batching is the TPU-native extension that feeds
+    edit/batch.py). Per-trajectory noise derives from ``fold_in(rng, t)``
+    split over the batch, so a B=1 call reproduces the single-shape result
+    bit-exactly.
+
     Returns (ordering matches the reference lists, index k <-> t = steps-1-k):
-      latent:          x_steps
-      features:        [steps, ...] post-processed inter_feat
-      variances:       [steps, ...]
-      variance_noise:  [steps, ...]
+      latent:          x_steps                 [B, ...]
+      features:        [steps, B, ...] post-processed inter_feat
+      variances:       [steps, B, ...]
+      variance_noise:  [steps, B, ...]
       sample:          x_0 (exact by the replay identity)
     """
-    assert x0.shape[0] == 1, "inversion operates on a single trajectory"
     nd = x0.ndim
+    b = x0.shape[0]
 
     def fwd_step(x, t):
         tb = jnp.full((x.shape[0],), t, jnp.int32)
@@ -414,15 +421,23 @@ def ddpm_inversion(
     x_inter = jnp.concatenate([x0[None].astype(jnp.float32), xs], axis=0)
 
     # Backward, batched: for t = 0..steps-1 evaluate the model at x_{t+1}.
+    # The model sees a flattened [chunk*B] batch per call.
     def backward_batch(args):
-        x_in, tb = args  # [chunk, 1, ...], [chunk]
+        x_in, tb = args  # [chunk, B, ...], [chunk]
+        xf = x_in.reshape((-1,) + x_in.shape[2:])
+        tf = jnp.repeat(tb, b)
         out = p_mean_variance(
-            sched, model_fn, x_in[:, 0], tb, clip_denoised=clip_denoised
+            sched, model_fn, xf, tf, clip_denoised=clip_denoised
         )
-        return out.mean, out.variance, feat_postprocess(out.feat)
+        feats = feat_postprocess(out.feat)
+        return (
+            out.mean.reshape(x_in.shape),
+            out.variance.reshape(x_in.shape),
+            feats.reshape((x_in.shape[0], b) + feats.shape[1:]),
+        )
 
     ts = jnp.arange(steps)  # ascending t
-    xin = x_inter[1:]  # [steps, 1, ...] = x_{t+1} for t ascending
+    xin = x_inter[1:]  # [steps, B, ...] = x_{t+1} for t ascending
     pad = (-steps) % chunk
     if pad:
         xin = jnp.concatenate([xin, jnp.repeat(xin[-1:], pad, 0)], axis=0)
@@ -430,19 +445,19 @@ def ddpm_inversion(
     xin = xin.reshape(steps // chunk + (1 if pad else 0), chunk, *x0.shape)
     ts = ts.reshape(-1, chunk)
     means, variances, feats = jax.lax.map(backward_batch, (xin, ts))
-    means = means.reshape(-1, *x0.shape[1:])[:steps]
-    variances = variances.reshape(-1, *x0.shape[1:])[:steps]
+    means = means.reshape((-1,) + x0.shape)[:steps]
+    variances = variances.reshape((-1,) + x0.shape)[:steps]
     feats = feats.reshape((-1,) + feats.shape[2:])[:steps]
 
-    variance_noise = x_inter[:steps, 0] - means  # x_t - mean_t, t ascending
+    variance_noise = x_inter[:steps] - means  # x_t - mean_t, t ascending
 
     # Reference list ordering is t descending (loop steps-1..0).
     rev = slice(None, None, -1)
     return {
         "latent": x_inter[steps],
         "features": feats[rev],
-        "variances": variances[rev][:, None],
-        "variance_noise": variance_noise[rev][:, None],
+        "variances": variances[rev],
+        "variance_noise": variance_noise[rev],
         "sample": x_inter[0],
     }
 

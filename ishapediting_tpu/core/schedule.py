@@ -48,7 +48,15 @@ def betas_for_alpha_bar(num_steps: int, alpha_bar, max_beta: float = 0.999) -> n
 
 
 def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]]):
-    """Select the subset of original steps to keep (reference: respace.py:6-59)."""
+    """Select the subset of original steps to keep (reference: respace.py:6-59).
+
+    Provenance: this step-selection algorithm is kept verbatim from OpenAI's
+    MIT-licensed guided-diffusion (``respace.py``), which the reference
+    vendors unchanged. It is an exact behavioral spec — converted checkpoints
+    only reproduce reference trajectories if the kept-step set matches
+    bit-for-bit (verified against the reference in
+    tests/test_reference_parity.py), so any "redesign" here would be a bug.
+    """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
             desired_count = int(section_counts[len("ddim"):])

@@ -1,4 +1,4 @@
-"""Batched multi-shape drag editing, sharded over the device mesh.
+"""Batched multi-shape editing, sharded over the device mesh.
 
 The reference edits strictly one shape at a time (drag_utils.py:303-304
 raises for num_samples > 1). TPU-native extension (BASELINE.json config 5):
@@ -7,6 +7,13 @@ guidance features, and handle set — edited simultaneously, vmapped over the
 shape axis and sharded over the mesh's ``data`` axis so every chip carries
 its own trajectories with zero cross-device traffic.
 
+The full real-shape path is batched end-to-end: ``fit_guided`` accepts
+[N, P, 3] point sets (edit/fit.py), ``ddpm_inversion`` accepts [N, H, W, C]
+latents (core/diffusion.py), and ``drag_edit_batched`` below consumes the
+stacked records, including the inversion-anchored noise modes
+("fixed_variance" / "replay", the reference's commented edit-mode variants
+at drag_utils.py:342-346, 388-396).
+
 All shapes must share the same handle count (pad with repeated handles if
 needed — duplicated handle points are a no-op for both losses).
 """
@@ -14,15 +21,18 @@ needed — duplicated handle points are a no-op for both losses).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ishapediting_tpu.core.diffusion import ddpm_inversion
 from ishapediting_tpu.core.schedule import Schedule
 from ishapediting_tpu.edit.drag import DragProblem, build_drag_problem, make_drag_step
+from ishapediting_tpu.edit.features import regroup_features
+from ishapediting_tpu.edit.fit import fit_guided, sample_training_points
 
 
 def stack_problems(problems: Sequence[DragProblem]) -> DragProblem:
@@ -56,14 +66,36 @@ def drag_edit_batched(
     loss_type: str = "l2",
     clip_denoised: bool = True,
     mesh: Optional[Mesh] = None,
+    noise_mode: str = "resample",
+    variances_batch: Optional[jnp.ndarray] = None,  # [N, w_time, 1, H, W, C]
+    variance_noise_batch: Optional[jnp.ndarray] = None,  # same shape
 ) -> jnp.ndarray:
     """Edit N shapes in one jitted program; returns [N, 1, H, W, C] latents.
 
     With ``mesh`` given, the shape axis is sharded over ``data`` (pjit;
     XLA keeps each trajectory chip-local).
-    """
 
-    def one_shape(w, feats, problem, key):
+    ``noise_mode`` matches the single-shape engine (edit/engine.py):
+    "resample" (fresh noise), "fixed_variance" (inversion-recorded variance),
+    "replay" (inversion-recorded variance_noise replayed exactly). The latter
+    two require the stacked inversion records.
+    """
+    if noise_mode not in ("resample", "fixed_variance", "replay"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if noise_mode != "resample" and (
+        variances_batch is None or variance_noise_batch is None
+    ):
+        raise ValueError(
+            f"noise_mode={noise_mode!r} needs variances_batch and "
+            "variance_noise_batch from invert_batched()"
+        )
+    n = w_batch.shape[0]
+    if variances_batch is None:
+        # unused placeholders keep the scan signature static
+        variances_batch = jnp.zeros((n, w_time), jnp.float32)
+        variance_noise_batch = jnp.zeros((n, w_time), jnp.float32)
+
+    def one_shape(w, feats, variances, variance_noises, problem, key):
         step = make_drag_step(
             sched,
             partial(model_fn_p, params),
@@ -75,25 +107,121 @@ def drag_edit_batched(
         )
 
         def body(img, inp):
-            t, feat = inp
-            return step(img, t, feat, jax.random.fold_in(key, t)), None
+            t, feat, var, vn = inp
+            key_t = jax.random.fold_in(key, t)
+            if noise_mode == "fixed_variance":
+                return step(img, t, feat, key_t, variance_override=var), None
+            if noise_mode == "replay":
+                return step(img, t, feat, key_t, variance_noise=vn), None
+            return step(img, t, feat, key_t), None
 
         ts = jnp.arange(w_time - 1, -1, -1)
-        img, _ = jax.lax.scan(body, w.astype(jnp.float32), (ts, feats))
+        img, _ = jax.lax.scan(
+            body, w.astype(jnp.float32), (ts, feats, variances, variance_noises)
+        )
         return img
 
-    n = w_batch.shape[0]
     keys = jax.random.split(rng, n)
-    fn = jax.vmap(one_shape, in_axes=(0, 0, 0, 0))
+    fn = jax.vmap(one_shape, in_axes=(0, 0, 0, 0, 0, 0))
+    args = (w_batch, features_batch, variances_batch, variance_noise_batch)
     if mesh is not None:
         shard = NamedSharding(mesh, P("data"))
-        w_batch = jax.device_put(w_batch, shard)
-        features_batch = jax.device_put(features_batch, shard)
+        args = tuple(jax.device_put(a, shard) for a in args)
         problems = jax.tree.map(lambda a: jax.device_put(a, shard), problems)
         fn = jax.jit(fn, out_shardings=shard)
     else:
         fn = jax.jit(fn)
-    return fn(w_batch, features_batch, problems, keys)
+    return fn(*args, problems, keys)
+
+
+def invert_batched(
+    sched: Schedule,
+    model_fn_feat: Callable,
+    latents: jnp.ndarray,  # [N, H, W, C] normalized latents
+    rng: jax.Array,
+    *,
+    w_time: int,
+    clip_denoised: bool = True,
+    chunk: int = 2,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Edit-friendly inversion of N latents in one program, reshaped for
+    ``drag_edit_batched``:
+
+      w:               [N, 1, H, W, C]
+      features:        [N, w_time, 3, s, s, C']
+      variances:       [N, w_time, 1, H, W, C]
+      variance_noise:  [N, w_time, 1, H, W, C]
+      sample:          [N, H, W, C]  (== latents, replay identity)
+    """
+    if mesh is not None:
+        latents = jax.device_put(latents, NamedSharding(mesh, P("data")))
+    out = ddpm_inversion(
+        sched,
+        model_fn_feat,
+        latents,
+        rng,
+        steps=w_time,
+        feat_postprocess=regroup_features,
+        clip_denoised=clip_denoised,
+        chunk=chunk,
+    )
+    # [steps, N, ...] -> [N, steps, ...] with the per-shape singleton batch
+    # axis the single-shape drag step expects.
+    move = lambda a: jnp.moveaxis(a, 0, 1)
+    return {
+        "w": out["latent"][:, None],
+        "features": move(out["features"]),
+        "variances": move(out["variances"])[:, :, None],
+        "variance_noise": move(out["variance_noise"])[:, :, None],
+        "sample": out["sample"],
+    }
+
+
+def fit_real_shapes_batched(
+    sched_fit: Schedule,
+    model_fn_p: Callable,
+    params,
+    decoder: Dict,
+    meshes: Sequence,
+    half_range: jnp.ndarray,
+    middle: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    latent_shape: Tuple[int, int, int],
+    fit_cfg,
+    seed: int = 0,
+    clip_denoised: bool = True,
+    mesh: Optional[Mesh] = None,
+) -> jnp.ndarray:
+    """Classifier-guided reconstruction of N real meshes in one program
+    (host-side point sampling per mesh, then one batched ``fit_guided``).
+    Returns normalized latents [N, H, W, C]."""
+    pts, occ = [], []
+    for i, m in enumerate(meshes):
+        p, o = sample_training_points(m, fit_cfg, seed=seed + i)
+        pts.append(p)
+        occ.append(o)
+    points = jnp.asarray(np.stack(pts))
+    occs = jnp.asarray(np.stack(occ))
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("data"))
+        points = jax.device_put(points, shard)
+        occs = jax.device_put(occs, shard)
+    return fit_guided(
+        sched_fit,
+        partial(model_fn_p, params),
+        decoder,
+        points,
+        occs,
+        half_range,
+        middle,
+        rng,
+        latent_shape=latent_shape,
+        batch_points=fit_cfg.batch_points,
+        scale=fit_cfg.grad_scale,
+        clip_denoised=clip_denoised,
+    )
 
 
 def build_batched_problems(

@@ -112,6 +112,14 @@ def make_drag_step(
     ``model_fn_feat`` must return the tapped feature; the closure regroups it
     into plane features before the loss.
 
+    Note on ``cof <= 0``: the reference skips computing mask_loss entirely
+    when cof <= 0 (drag_utils.py:361-365, a Python-level fast path). Here
+    ``cof`` is a *traced* scalar so scale/lambda changes never recompile
+    (the GUI knobs), which means the mask term is always computed and merely
+    multiplied by 0 — a deliberate trade: the mask loss is <2% of the step
+    cost (one masked subtraction over 3 planes vs a full UNet fwd+bwd), and
+    one compiled program beats two.
+
     The two optional per-step overrides reproduce the reference's edit-mode
     variants (drag_utils.py:342-346, 388-390):
     - ``variance_override``: fresh noise, but the inversion-recorded variance

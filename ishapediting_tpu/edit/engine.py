@@ -393,20 +393,39 @@ class DragEngine:
         rng = jax.random.PRNGKey(seed)
         t = w_time
         stop_time = 0
+
+        def pad_chunk(arr):
+            """[n, ...] -> [chunk, ...] by repeating the last entry; keeps the
+            chunk program's input shapes static so the final partial chunk
+            does not trace a second program per distinct remainder."""
+            n = arr.shape[0]
+            if n == chunk:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.repeat(arr[-1:], chunk - n, axis=0)], axis=0
+            )
+
         while t > 0:
             n = min(chunk, t)
-            ts = np.arange(t - 1, t - 1 - n, -1)
-            feats = jax.lax.dynamic_slice_in_dim(
-                self.feature_guidance, w_time - t, n, axis=0
+            # padded steps carry t = -1 and are skipped inside the scan body
+            ts = np.concatenate(
+                [np.arange(t - 1, t - 1 - n, -1), np.full(chunk - n, -1)]
+            )
+            feats = pad_chunk(
+                jax.lax.dynamic_slice_in_dim(
+                    self.feature_guidance, w_time - t, n, axis=0
+                )
             )
             if noise_mode == "resample":
-                var_slice = vn_slice = jnp.zeros((n,), jnp.float32)  # unused
+                var_slice = vn_slice = jnp.zeros((chunk,), jnp.float32)  # unused
             else:
-                var_slice = jax.lax.dynamic_slice_in_dim(
-                    self.variances, w_time - t, n, axis=0
+                var_slice = pad_chunk(
+                    jax.lax.dynamic_slice_in_dim(self.variances, w_time - t, n, axis=0)
                 )
-                vn_slice = jax.lax.dynamic_slice_in_dim(
-                    self.variance_noise, w_time - t, n, axis=0
+                vn_slice = pad_chunk(
+                    jax.lax.dynamic_slice_in_dim(
+                        self.variance_noise, w_time - t, n, axis=0
+                    )
                 )
             img = step_fn(
                 self.unet_params,
@@ -447,11 +466,17 @@ class DragEngine:
         def body(im, inp):
             t, feat, var, vn = inp
             key = jax.random.fold_in(rng, t)
-            if noise_mode == "fixed_variance":
-                return step(im, t, feat, key, variance_override=var), None
-            if noise_mode == "replay":
-                return step(im, t, feat, key, variance_noise=vn), None
-            return step(im, t, feat, key), None
+
+            def real_step(im):
+                if noise_mode == "fixed_variance":
+                    return step(im, t, feat, key, variance_override=var)
+                if noise_mode == "replay":
+                    return step(im, t, feat, key, variance_noise=vn)
+                return step(im, t, feat, key)
+
+            # t == -1 marks chunk padding (engine.drag_edit pads the final
+            # partial chunk to keep shapes static); skip those steps.
+            return jax.lax.cond(t >= 0, real_step, lambda im: im, im), None
 
         img, _ = jax.lax.scan(
             body, img.astype(jnp.float32), (ts, feats, variances, variance_noises)
@@ -579,7 +604,11 @@ class DragEngine:
         out = fn(self.unet_params, latent, jax.random.PRNGKey(seed))
         self.w = out["latent"]
         self.w0 = self.w
-        self.feature_guidance = out["features"]
+        # ddpm_inversion returns [steps, B, ...]; the engine is single-shape
+        # (B=1), so drop the batch axis from the feature stack (the drag loop
+        # consumes [w_time, 3, s, s, C']); variances/variance_noise keep their
+        # [steps, 1, H, W, C] per-step-batch shape.
+        self.feature_guidance = out["features"][:, 0]
         self.variances = out["variances"]
         self.variance_noise = out["variance_noise"]
         self.mesh = self.get_mesh(out["sample"])

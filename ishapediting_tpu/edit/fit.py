@@ -72,12 +72,21 @@ def latent_to_planes(
     return tri[0].reshape(h, w, 3, c // 3).transpose(2, 0, 1, 3)
 
 
+def latents_to_planes(
+    latents: jnp.ndarray, half_range: jnp.ndarray, middle: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched ``latent_to_planes``: [B, H, W, 96] -> [B, 3, H, W, 32]."""
+    tri = latents * half_range + middle
+    b, h, w, c = tri.shape
+    return tri.reshape(b, h, w, 3, c // 3).transpose(0, 3, 1, 2, 4)
+
+
 def fit_guided(
     sched: Schedule,
     model_fn: Callable,
     decoder: Dict,
-    points: jnp.ndarray,  # [P, 3]
-    occupancies: jnp.ndarray,  # [P]
+    points: jnp.ndarray,  # [P, 3] or [B, P, 3]
+    occupancies: jnp.ndarray,  # [P] or [B, P]
     half_range: jnp.ndarray,
     middle: jnp.ndarray,
     rng: jax.Array,
@@ -87,28 +96,41 @@ def fit_guided(
     scale: float = 600.0,
     clip_denoised: bool = True,
 ) -> jnp.ndarray:
-    """Classifier-guided reconstruction; returns the fitted normalized latent
-    x0 [1, H, W, 96]."""
+    """Classifier-guided reconstruction; returns the fitted normalized latents
+    [B, H, W, 96].
+
+    The reference fits strictly one shape (drag_utils.py:401-471); passing
+    ``points``/``occupancies`` with a leading shape axis fits B shapes in one
+    program — each shape gets its own BCE term (summed, so the per-shape
+    latent gradient is identical to a B=1 run at the same ``scale``), and all
+    B UNet evaluations batch through the model together."""
+    if points.ndim == 2:
+        points = points[None]
+        occupancies = occupancies[None]
+    b = points.shape[0]
     num_steps = sched.num_timesteps
-    p_total = points.shape[0]
+    p_total = points.shape[1]
     rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, (1,) + tuple(latent_shape), jnp.float32)
+    x = jax.random.normal(init_rng, (b,) + tuple(latent_shape), jnp.float32)
 
     def body(img, t):
         step_rng = jax.random.fold_in(rng, t)
         r_noise, r_batch = jax.random.split(step_rng)
-        idx = jax.random.randint(r_batch, (batch_points,), 0, p_total)
-        coords = points[idx]
-        labels = occupancies[idx][:, None]
-        tb = jnp.full((1,), t, jnp.int32)
+        idx = jax.random.randint(r_batch, (b, batch_points), 0, p_total)
+        coords = jnp.take_along_axis(points, idx[..., None], axis=1)
+        labels = jnp.take_along_axis(occupancies, idx, axis=1)[..., None]
+        tb = jnp.full((b,), t, jnp.int32)
 
         def loss_fn(im):
             out = p_sample_guidance(
                 sched, model_fn, im, tb, r_noise, clip_denoised=clip_denoised
             )
-            planes = latent_to_planes(out["pred_xstart"], half_range, middle)
-            logits = decode_points(decoder, planes, coords)
-            loss = -bce_with_logits(logits, labels)
+            planes = latents_to_planes(out["pred_xstart"], half_range, middle)
+            logits = jax.vmap(lambda p, c: decode_points(decoder, p, c))(
+                planes, coords
+            )
+            per_shape = jax.vmap(bce_with_logits)(logits, labels)
+            loss = -jnp.sum(per_shape)
             return loss, (out["sample"], out["variance"])
 
         (_, (sample, variance)), grad = jax.value_and_grad(

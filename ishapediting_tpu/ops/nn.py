@@ -55,12 +55,12 @@ _CONV_IMPL_CACHE: Optional[str] = None
 def _conv_impl() -> str:
     """Select the conv lowering.
 
-    ``ISHAPE_CONV_IMPL`` = xla | im2col | auto (default auto).
+    ``ISHAPE_CONV_IMPL`` = xla | im2col | tap | auto (default auto).
 
     auto: the native conv op on the axon backend runs at ~4 TFLOP/s while
     its matmul path sustains >140 TFLOP/s (measured, see docs/PERF.md), so
-    non-CPU/TPU backends get the im2col matmul formulation; CPU and genuine
-    TPU keep ``lax.conv_general_dilated``.
+    non-CPU/TPU backends get the tap-accumulated matmul formulation; CPU and
+    genuine TPU keep ``lax.conv_general_dilated``.
     """
     global _CONV_IMPL_CACHE
     if _CONV_IMPL_CACHE is None:
@@ -72,7 +72,7 @@ def _conv_impl() -> str:
                 backend = jax.default_backend()
             except Exception:  # noqa: BLE001
                 backend = "cpu"
-            choice = "xla" if backend in ("cpu", "tpu", "gpu") else "im2col"
+            choice = "xla" if backend in ("cpu", "tpu", "gpu") else "tap"
         _CONV_IMPL_CACHE = choice
     return _CONV_IMPL_CACHE
 
@@ -144,6 +144,50 @@ def conv2d_im2col(
     return out
 
 
+def conv2d_tap(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Convolution as kh*kw accumulated matmuls (one per kernel tap).
+
+    Unlike ``conv2d_im2col`` this never materializes the [N,H,W,kh*kw*C]
+    patch tensor — each tap is an input-sized slice fed straight into a
+    matmul whose partial products accumulate. Measured on the axon backend
+    (tools/probe_conv.py, inside a scan): 140 vs 115 TF/s at 64^2x512 and
+    parity at 128^2x256 against the patch-concat formulation, because the
+    concat's extra 2x activation write+read traffic disappears.
+    """
+    kh, kw, cin, cout = w.shape
+    if kh == kw == 1 and padding == 0:
+        out = jnp.einsum(
+            "nhwc,co->nhwo", x[:, ::stride, ::stride], w[0, 0].astype(x.dtype)
+        )
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+    n, h, wdt, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h_out = (h + 2 * padding - kh) // stride + 1
+    w_out = (wdt + 2 * padding - kw) // stride + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (n, dy + (h_out - 1) * stride + 1, dx + (w_out - 1) * stride + 1, cin),
+                (1, stride, stride, 1),
+            )
+            part = jnp.einsum("nhwc,co->nhwo", sl, w[dy, dx].astype(x.dtype))
+            acc = part if acc is None else acc + part
+    if b is not None:
+        acc = acc + b.astype(acc.dtype)
+    return acc
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -152,8 +196,11 @@ def conv2d(
     padding: int = 0,
 ) -> jnp.ndarray:
     """2D convolution, NHWC x HWIO -> NHWC (implementation per backend)."""
-    if _conv_impl() == "im2col":
+    impl = _conv_impl()
+    if impl == "im2col":
         return conv2d_im2col(x, w, b, stride, padding)
+    if impl == "tap":
+        return conv2d_tap(x, w, b, stride, padding)
     return conv2d_xla(x, w, b, stride, padding)
 
 

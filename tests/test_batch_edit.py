@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from ishapediting_tpu.edit.batch import (
     build_batched_problems,
     drag_edit_batched,
+    fit_real_shapes_batched,
+    invert_batched,
     stack_problems,
 )
 from ishapediting_tpu.edit.drag import build_drag_problem, drag_edit_scan
@@ -121,6 +123,157 @@ def test_batched_sharded_over_mesh(engine):
     )
     assert out.shape == (n, 1, 16, 16, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_inversion_replay_identity(engine):
+    """N latents inverted in one program: the recorded variance_noise must
+    reproduce every x0 exactly, and an inversion-anchored batched drag with
+    scale=0 in "replay" mode must reconstruct each latent through the full
+    drag loop (the real-shape editing path, sharded)."""
+    w_time = TINY_PIPELINE.edit.w_time
+    edit_cfg = TINY_PIPELINE.edit
+    n = 4
+    latents = jax.random.uniform(
+        jax.random.PRNGKey(5), (n, 16, 16, 6), jnp.float32, -1, 1
+    )
+    model_fn_p = engine._model_fn_p(feat=True)
+    inv = invert_batched(
+        engine.sched,
+        lambda x, t: model_fn_p(engine.unet_params, x, t),
+        latents,
+        jax.random.PRNGKey(6),
+        w_time=w_time,
+    )
+    # replay identity, per shape, exact
+    np.testing.assert_array_equal(np.asarray(inv["sample"]), np.asarray(latents))
+    assert inv["w"].shape == (n, 1, 16, 16, 6)
+    assert inv["features"].shape[:2] == (n, w_time)
+    assert inv["variances"].shape == (n, w_time, 1, 16, 16, 6)
+
+    mesh = make_mesh(4)
+    problems = build_batched_problems(
+        [np.array([[0.1, 0, 0]])] * n,
+        [np.array([[0.25, 0, 0]])] * n,
+        r1=edit_cfg.r1,
+        voxel_size=edit_cfg.voxel_size,
+        feat_width=inv["features"].shape[-2],
+    )
+    out_zero = drag_edit_batched(
+        engine.sched,
+        model_fn_p,
+        engine.unet_params,
+        inv["w"],
+        inv["features"],
+        problems,
+        jax.random.PRNGKey(7),
+        w_time=w_time,
+        scale=0.0,
+        cof=0.2,
+        mesh=mesh,
+        noise_mode="replay",
+        variances_batch=inv["variances"],
+        variance_noise_batch=inv["variance_noise"],
+    )
+    # scale=0 replay walks mean + variance_noise exactly -> recovers x0
+    np.testing.assert_allclose(
+        np.asarray(out_zero[:, 0]), np.asarray(latents), atol=1e-5
+    )
+
+    out_drag = drag_edit_batched(
+        engine.sched,
+        model_fn_p,
+        engine.unet_params,
+        inv["w"],
+        inv["features"],
+        problems,
+        jax.random.PRNGKey(7),
+        w_time=w_time,
+        scale=50.0,
+        cof=0.2,
+        mesh=mesh,
+        noise_mode="replay",
+        variances_batch=inv["variances"],
+        variance_noise_batch=inv["variance_noise"],
+    )
+    assert np.isfinite(np.asarray(out_drag)).all()
+    # the guidance actually moved every latent away from the reconstruction
+    for i in range(n):
+        assert float(jnp.abs(out_drag[i, 0] - latents[i]).max()) > 1e-4
+
+
+def test_batched_fixed_variance_mode(engine):
+    """noise_mode="fixed_variance" (case-1 edit mode) runs batched and
+    differs from plain resample output."""
+    w_time = TINY_PIPELINE.edit.w_time
+    edit_cfg = TINY_PIPELINE.edit
+    n = 2
+    latents = jax.random.uniform(
+        jax.random.PRNGKey(8), (n, 16, 16, 6), jnp.float32, -1, 1
+    )
+    model_fn_p = engine._model_fn_p(feat=True)
+    inv = invert_batched(
+        engine.sched,
+        lambda x, t: model_fn_p(engine.unet_params, x, t),
+        latents,
+        jax.random.PRNGKey(9),
+        w_time=w_time,
+    )
+    problems = build_batched_problems(
+        [np.array([[0.1, 0, 0]])] * n,
+        [np.array([[0.2, 0, 0]])] * n,
+        r1=edit_cfg.r1,
+        voxel_size=edit_cfg.voxel_size,
+        feat_width=inv["features"].shape[-2],
+    )
+    kwargs = dict(
+        w_time=w_time, scale=20.0, cof=0.2,
+        variances_batch=inv["variances"],
+        variance_noise_batch=inv["variance_noise"],
+    )
+    out_fv = drag_edit_batched(
+        engine.sched, model_fn_p, engine.unet_params, inv["w"],
+        inv["features"], problems, jax.random.PRNGKey(10),
+        noise_mode="fixed_variance", **kwargs,
+    )
+    assert out_fv.shape == (n, 1, 16, 16, 6)
+    assert np.isfinite(np.asarray(out_fv)).all()
+    with pytest.raises(ValueError):
+        drag_edit_batched(
+            engine.sched, model_fn_p, engine.unet_params, inv["w"],
+            inv["features"], problems, jax.random.PRNGKey(10),
+            w_time=w_time, scale=20.0, cof=0.2, noise_mode="replay",
+        )
+
+
+def test_batched_real_shape_fit(engine):
+    """fit_real_shapes_batched: N real meshes -> N latents in one program
+    (contract; quality is gated by the single-shape slow test)."""
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    meshes = [
+        grid_to_mesh((r - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+        for r in (0.5, 0.62)
+    ]
+    mf = engine._model_fn_p(feat=False)
+    latents = fit_real_shapes_batched(
+        engine.sched,
+        mf,
+        engine.unet_params,
+        engine.decoder_params,
+        meshes,
+        engine.half_range,
+        engine.middle,
+        jax.random.PRNGKey(11),
+        latent_shape=TINY_PIPELINE.latent_shape,
+        fit_cfg=TINY_PIPELINE.fit,
+        mesh=make_mesh(2),
+    )
+    assert latents.shape == (2, 16, 16, 6)
+    assert np.isfinite(np.asarray(latents)).all()
+    # the two shapes must produce distinct latents (independent BCE terms)
+    assert float(jnp.abs(latents[0] - latents[1]).max()) > 1e-3
 
 
 def test_build_batched_problems_pads_handles():

@@ -393,7 +393,7 @@ def test_ddpm_inversion_parity(guid, monkeypatch):
         )
         np.testing.assert_allclose(
             np.asarray(ours["features"][k]),
-            _to_nhwc(ref["inter_feat"][k])[0],
+            _to_nhwc(ref["inter_feat"][k]),
             rtol=1e-4,
             atol=1e-4,
             err_msg=f"inter_feat[{k}]",
