@@ -23,6 +23,7 @@ Parameter keys use the torch state_dict naming ("input_blocks.3.0.in_layers.2"
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -239,7 +240,7 @@ def _init_layer(key, prefix: str, layer: Layer, emb_ch: int, params: Params):
         raise ValueError(layer.kind)
 
 
-def init_unet_params(rng: jax.Array, cfg: UNetConfig) -> Params:
+def _init_unet_params_impl(rng: jax.Array, cfg: UNetConfig) -> Params:
     layout = build_layout(cfg)
     emb_ch = cfg.model_channels * 4
     params: Params = {}
@@ -270,6 +271,139 @@ def init_unet_params(rng: jax.Array, cfg: UNetConfig) -> Params:
         sub, 3, 3, layout.out_ch_final, cfg.out_channels, zero=True
     )
     return params
+
+
+def _param_specs(cfg: UNetConfig):
+    """Flat list of (prefix, leaf, shape, init) describing every parameter.
+
+    init is ("uniform", bound) | ("zeros",) | ("ones",) | ("normal",).
+    Mirrors `_init_layer` (torch-default fan-in uniform; zero-modules zeroed).
+    """
+    layout = build_layout(cfg)
+    emb_ch = cfg.model_channels * 4
+    specs = []
+
+    def dense(prefix, cin, cout, zero=False):
+        if zero:
+            specs.append((prefix, "w", (cin, cout), ("zeros",)))
+            specs.append((prefix, "b", (cout,), ("zeros",)))
+        else:
+            bound = 1.0 / math.sqrt(cin)
+            specs.append((prefix, "w", (cin, cout), ("uniform", math.sqrt(3.0) * bound)))
+            specs.append((prefix, "b", (cout,), ("uniform", bound)))
+
+    def conv(prefix, kh, kw, cin, cout, zero=False):
+        if zero:
+            specs.append((prefix, "w", (kh, kw, cin, cout), ("zeros",)))
+            specs.append((prefix, "b", (cout,), ("zeros",)))
+        else:
+            bound = 1.0 / math.sqrt(kh * kw * cin)
+            specs.append(
+                (prefix, "w", (kh, kw, cin, cout), ("uniform", math.sqrt(3.0) * bound))
+            )
+            specs.append((prefix, "b", (cout,), ("uniform", bound)))
+
+    def gn(prefix, ch):
+        specs.append((prefix, "scale", (ch,), ("ones",)))
+        specs.append((prefix, "bias", (ch,), ("zeros",)))
+
+    def layer(prefix, l: Layer):
+        if l.kind == "conv":
+            conv(prefix, 3, 3, l.in_ch, l.out_ch)
+        elif l.kind == "res":
+            gn(f"{prefix}.in_layers.0", l.in_ch)
+            conv(f"{prefix}.in_layers.2", 3, 3, l.in_ch, l.out_ch)
+            emb_out = 2 * l.out_ch if l.scale_shift else l.out_ch
+            dense(f"{prefix}.emb_layers.1", emb_ch, emb_out)
+            gn(f"{prefix}.out_layers.0", l.out_ch)
+            conv(f"{prefix}.out_layers.3", 3, 3, l.out_ch, l.out_ch, zero=True)
+            if l.in_ch != l.out_ch:
+                conv(f"{prefix}.skip_connection", 1, 1, l.in_ch, l.out_ch)
+        elif l.kind == "attn":
+            gn(f"{prefix}.norm", l.in_ch)
+            dense(f"{prefix}.qkv", l.in_ch, 3 * l.in_ch)
+            dense(f"{prefix}.proj_out", l.in_ch, l.in_ch, zero=True)
+        elif l.kind == "downsample":
+            if l.use_conv:
+                conv(f"{prefix}.op", 3, 3, l.in_ch, l.out_ch)
+        elif l.kind == "upsample":
+            if l.use_conv:
+                conv(f"{prefix}.conv", 3, 3, l.in_ch, l.out_ch)
+        else:  # pragma: no cover
+            raise ValueError(l.kind)
+
+    dense("time_embed.0", cfg.model_channels, emb_ch)
+    dense("time_embed.2", emb_ch, emb_ch)
+    if cfg.num_classes is not None:
+        specs.append(("label_emb", "w", (cfg.num_classes, emb_ch), ("normal",)))
+    for i, block in enumerate(layout.input_blocks):
+        for j, l in enumerate(block):
+            layer(f"input_blocks.{i}.{j}", l)
+    for j, l in enumerate(layout.middle_block):
+        layer(f"middle_block.{j}", l)
+    for i, block in enumerate(layout.output_blocks):
+        for j, l in enumerate(block):
+            layer(f"output_blocks.{i}.{j}", l)
+    gn("out.0", layout.out_ch_final)
+    conv("out.2", 3, 3, layout.out_ch_final, cfg.out_channels, zero=True)
+    return specs
+
+
+def _init_from_specs(rng: jax.Array, cfg: UNetConfig) -> Params:
+    specs = _param_specs(cfg)
+    uniform_total = sum(
+        int(np.prod(shape)) for _, _, shape, init in specs if init[0] == "uniform"
+    )
+    k_uni, k_norm = jax.random.split(rng)
+    # threefry generation of ~4e8 elements costs ~75 s on the target backend;
+    # the hardware rbg generator does it in well under a second (docs/PERF.md).
+    # Init quality does not need counter-based RNG guarantees.
+    k_bits = (
+        jax.random.key_data(k_uni)
+        if jnp.issubdtype(jnp.asarray(k_uni).dtype, jax.dtypes.prng_key)
+        else jnp.asarray(k_uni)
+    ).reshape(-1)
+    rbg_key = jax.random.wrap_key_data(
+        jnp.tile(k_bits, 4)[:4].astype(jnp.uint32), impl="rbg"
+    )
+    flat = jax.random.uniform(
+        rbg_key, (uniform_total,), jnp.float32, minval=-1.0, maxval=1.0
+    )
+    params: Params = {}
+    offset = 0
+    for prefix, leaf, shape, init in specs:
+        n = int(np.prod(shape))
+        if init[0] == "uniform":
+            arr = flat[offset : offset + n].reshape(shape) * init[1]
+            offset += n
+        elif init[0] == "zeros":
+            arr = jnp.zeros(shape, jnp.float32)
+        elif init[0] == "ones":
+            arr = jnp.ones(shape, jnp.float32)
+        else:  # normal (label_emb)
+            arr = jax.random.normal(k_norm, shape, jnp.float32)
+        params.setdefault(prefix, {})[leaf] = arr
+    return params
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_init(cfg: UNetConfig):
+    return jax.jit(functools.partial(_init_from_specs, cfg=cfg))
+
+
+def init_unet_params(rng: jax.Array, cfg: UNetConfig) -> Params:
+    """Initialize the full parameter tree in one cheap device program.
+
+    A per-leaf eager init dispatches ~2000 small RNG ops; on backends with
+    high per-dispatch latency that costs minutes for the 421M-param model
+    (measured 128 s, docs/PERF.md), and jitting that same per-leaf RNG graph
+    just moves the cost into a 145 s compile. Instead: ONE flat uniform draw
+    carved into the uniform-init leaves (iid slices of a uniform vector have
+    exactly the per-leaf distribution), plus zeros/ones/one normal draw —
+    a single program of trivial slices that compiles in seconds and hits the
+    persistent cache afterwards.
+    """
+    return _jitted_init(cfg)(rng)
 
 
 def param_count(params: Params) -> int:

@@ -58,7 +58,7 @@ def test_unet_convert_published_key_vocabulary():
     """The published checkpoint's key set must be exactly the converter's
     expected vocabulary: synthesize from the full-size config and convert."""
     cfg = UNetConfig(compute_dtype="float32")
-    # Avoid materializing 550M params: just check a few representative keys
+    # Avoid materializing 421M params: just check a few representative keys
     # exist in the layout-derived init for a scaled-down but same-topology cfg.
     small = UNetConfig(
         image_size=32,

@@ -106,8 +106,7 @@ def test_grad_flows_to_input():
 
 
 def test_param_count_published():
-    """The published model should be ~550M params (sanity: big, exact count
-    pinned once measured)."""
+    """The published model is ~421M params (ADM-128 topology)."""
     cfg = UNetConfig()
     layout = build_layout(cfg)
     # count without materializing arrays
