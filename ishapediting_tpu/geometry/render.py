@@ -2,12 +2,15 @@
 Open3D; reference: main.py:345-367 renders with a white background).
 
 A compact NumPy z-buffer rasterizer with Lambertian shading — enough for
-documentation shots, edit before/after comparisons, and CI artifacts.
+documentation shots, edit before/after comparisons, CI artifacts, and the
+headless GUI backend (gui/headless.py), which also needs the normalized
+depth buffer for the reference's depth-unproject picking path
+(reference: main.py:488-527).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,37 +29,60 @@ def _look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarray:
     return m
 
 
-def render_mesh(
-    mesh: TriMesh,
-    size: int = 512,
+def render_scene(
+    geoms: Sequence[Tuple[np.ndarray, np.ndarray, Optional[Tuple[float, float, float]]]],
+    width: int = 512,
+    height: int = 512,
     eye: Tuple[float, float, float] = (1.8, 1.4, 1.8),
     center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     up: Tuple[float, float, float] = (0.0, 1.0, 0.0),
     fov_deg: float = 40.0,
-    color: Tuple[float, float, float] = (0.62, 0.72, 0.85),
+    near: float = 0.05,
+    far: float = 20.0,
     light_dir: Tuple[float, float, float] = (-1.0, -1.0, -1.0),
     background: Tuple[float, float, float] = (1.0, 1.0, 1.0),
-    save_path: Optional[str] = None,
-) -> np.ndarray:
-    """Rasterize ``mesh`` to an RGB uint8 image [size, size, 3]."""
-    v = np.asarray(mesh.vertices, np.float64)
-    tris = np.asarray(mesh.triangles, np.int64)
-    img = np.ones((size, size, 3), np.float64) * np.asarray(background)
-    if len(tris) == 0:
-        out = (img * 255).astype(np.uint8)
-        if save_path:
-            from PIL import Image
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rasterize a list of ``(vertices, triangles, color)`` geometries.
 
-            Image.fromarray(out).save(save_path)
-        return out
+    Returns ``(rgb, depth)`` where ``rgb`` is uint8 [height, width, 3] and
+    ``depth`` is float32 [height, width] normalized to [0, 1] between
+    ``near``/``far`` view-space planes, with exactly 1.0 where nothing was
+    hit — the same contract Open3D's ``render_to_depth_image`` exposes, so
+    the GUI's background test ``depth == 1.0`` works unchanged.
+    """
+    img = np.ones((height, width, 3), np.float64) * np.asarray(background)
+    depth_img = np.ones((height, width), np.float32)
+
+    # merge geometries into one face soup with per-face base colors
+    default_color = np.array([0.62, 0.72, 0.85])
+    verts, faces, face_colors = [], [], []
+    off = 0
+    for entry in geoms:
+        v, t, c = entry
+        v = np.asarray(v, np.float64)
+        t = np.asarray(t, np.int64)
+        if len(v) == 0 or len(t) == 0:
+            continue
+        verts.append(v)
+        faces.append(t + off)
+        col = default_color if c is None else np.asarray(c, np.float64)
+        face_colors.append(np.broadcast_to(col, (len(t), 3)))
+        off += len(v)
+    if not verts:
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth_img
+    v = np.concatenate(verts, axis=0)
+    tris = np.concatenate(faces, axis=0)
+    base_colors = np.concatenate(face_colors, axis=0)
 
     view = _look_at(np.asarray(eye, float), np.asarray(center, float), np.asarray(up, float))
     vh = np.concatenate([v, np.ones((len(v), 1))], axis=1) @ view.T
-    # perspective
+    # perspective (aspect-corrected horizontally)
     f = 1.0 / np.tan(np.radians(fov_deg) / 2)
+    aspect = width / height
     z = -vh[:, 2]
-    px = (vh[:, 0] * f / np.maximum(z, 1e-9) * 0.5 + 0.5) * (size - 1)
-    py = (1.0 - (vh[:, 1] * f / np.maximum(z, 1e-9) * 0.5 + 0.5)) * (size - 1)
+    zc = np.maximum(z, 1e-9)
+    px = (vh[:, 0] * f / (zc * aspect) * 0.5 + 0.5) * (width - 1)
+    py = (1.0 - (vh[:, 1] * f / zc * 0.5 + 0.5)) * (height - 1)
 
     # face shading in world space
     n = np.cross(v[tris[:, 1]] - v[tris[:, 0]], v[tris[:, 2]] - v[tris[:, 0]])
@@ -66,10 +92,8 @@ def render_mesh(
     lam = np.abs(nn @ ld)  # double-sided
     shade = 0.25 + 0.75 * lam  # ambient + diffuse
 
-    zbuf = np.full((size, size), np.inf)
-    # rasterize back-to-front-ish: process all triangles with z-buffer
+    zbuf = np.full((height, width), np.inf)
     order = np.argsort(-z[tris].mean(axis=1))  # far first (z-buffer fixes rest)
-    base_color = np.asarray(color)
     for ti in order:
         i0, i1, i2 = tris[ti]
         xs = np.array([px[i0], px[i1], px[i2]])
@@ -77,8 +101,8 @@ def render_mesh(
         zs = np.array([z[i0], z[i1], z[i2]])
         if np.any(zs <= 1e-9):
             continue
-        x_min, x_max = int(max(0, xs.min())), int(min(size - 1, np.ceil(xs.max())))
-        y_min, y_max = int(max(0, ys.min())), int(min(size - 1, np.ceil(ys.max())))
+        x_min, x_max = int(max(0, xs.min())), int(min(width - 1, np.ceil(xs.max())))
+        y_min, y_max = int(max(0, ys.min())), int(min(height - 1, np.ceil(ys.max())))
         if x_min > x_max or y_min > y_max:
             continue
         gx, gy = np.meshgrid(
@@ -100,9 +124,37 @@ def render_mesh(
         closer = dd < zbuf[yy, xx]
         yy, xx, dd = yy[closer], xx[closer], dd[closer]
         zbuf[yy, xx] = dd
-        img[yy, xx] = base_color * shade[ti]
+        img[yy, xx] = base_colors[ti] * shade[ti]
 
-    out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    hit = np.isfinite(zbuf)
+    depth_img[hit] = np.clip((zbuf[hit] - near) / max(far - near, 1e-9), 0.0, 1.0 - 1e-6)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth_img
+
+
+def render_mesh(
+    mesh: TriMesh,
+    size: int = 512,
+    eye: Tuple[float, float, float] = (1.8, 1.4, 1.8),
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0),
+    fov_deg: float = 40.0,
+    color: Tuple[float, float, float] = (0.62, 0.72, 0.85),
+    light_dir: Tuple[float, float, float] = (-1.0, -1.0, -1.0),
+    background: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    save_path: Optional[str] = None,
+) -> np.ndarray:
+    """Rasterize ``mesh`` to an RGB uint8 image [size, size, 3]."""
+    out, _ = render_scene(
+        [(np.asarray(mesh.vertices), np.asarray(mesh.triangles), color)],
+        width=size,
+        height=size,
+        eye=eye,
+        center=center,
+        up=up,
+        fov_deg=fov_deg,
+        light_dir=light_dir,
+        background=background,
+    )
     if save_path:
         from PIL import Image
 
