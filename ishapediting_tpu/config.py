@@ -28,7 +28,8 @@ class UNetConfig:
     out_channels: int = 192  # in_channels * 2 when learn_sigma
     num_res_blocks: int = 2
     attention_ds: Tuple[int, ...] = (4, 8, 16)  # downsample factors with attention
-    channel_mult: Tuple[int, ...] = (1, 1, 2, 3, 4)
+    # per-level width multipliers; may be fractional (512^2 table uses 0.5)
+    channel_mult: Tuple[float, ...] = (1, 1, 2, 3, 4)
     num_heads: int = 4
     num_head_channels: int = 64
     num_heads_upsample: int = -1
@@ -83,7 +84,9 @@ class UNetConfig:
             out_channels=in_out_channels * 2 if learn_sigma else in_out_channels,
             num_res_blocks=num_res_blocks,
             attention_ds=tuple(sorted(att_ds)),
-            channel_mult=tuple(int(m) for m in mult),
+            # keep fractional mults (the 512 table starts at 0.5 — the layout
+            # computes int(mult * model_channels) per level)
+            channel_mult=tuple(mult),
             num_heads=num_heads,
             num_head_channels=num_head_channels,
             num_heads_upsample=num_heads_upsample,
