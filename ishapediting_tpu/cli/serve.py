@@ -1,0 +1,329 @@
+"""JSON-lines edit server: the editing engine as a long-lived service.
+
+The reference is usable only as a desktop GUI (main.py) or one-shot scripts;
+for production serving this exposes every engine capability over a simple
+line protocol so the process stays warm (params resident on device, jit
+caches populated) across many edits/clients:
+
+    request:  one JSON object per line on stdin
+    response: one JSON object per line on stdout, ``{"ok": true/false, ...}``
+    events:   long commands stream ``{"event": "progress", ...}`` lines
+              before their final response
+
+Commands (see ``EditServer.handle``): ping, init_random, load_model, sample,
+fit, drag, stop, save_mesh, render, metrics, edit_log, status, reset, clear,
+quit. A ``{"cmd": "stop"}`` line sent while a drag is running is picked up
+between compiled chunks (the engine's cooperative ``train_flag``, same
+discipline as the reference GUI's Stop button, main.py:483-486) — the
+remaining steps run unguided, exactly like the reference.
+
+Usage:
+    python -m ishapediting_tpu.cli.serve [--cpu]
+    echo '{"cmd":"ping"}' | python -m ishapediting_tpu.cli.serve
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import select
+import sys
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+class EditServer:
+    """Protocol handler; pure dict -> dict so it is testable without IO."""
+
+    def __init__(self):
+        self.engine = None
+        self.last_drag: Optional[Dict] = None
+        self.edit_count = 0
+
+    # ------------------------------------------------------------------
+
+    def handle(self, req: Dict, emit: Optional[Callable[[Dict], None]] = None) -> Dict:
+        """Execute one request; returns the response dict. ``emit`` receives
+        intermediate event dicts (progress) for streaming transports."""
+        cmd = req.get("cmd")
+        try:
+            fn = getattr(self, f"_cmd_{cmd}", None)
+            if cmd is None or cmd.startswith("_") or fn is None:
+                return {"ok": False, "cmd": cmd, "error": f"unknown cmd: {cmd!r}"}
+            out = fn(req, emit or (lambda e: None))
+            out.setdefault("ok", True)
+            out.setdefault("cmd", cmd)
+            return out
+        except Exception as e:  # protocol errors must not kill the server
+            return {"ok": False, "cmd": cmd, "error": f"{type(e).__name__}: {e}"}
+
+    def _require_engine(self):
+        if self.engine is None:
+            raise RuntimeError("no engine: send init_random or load_model first")
+        return self.engine
+
+    def _require_mesh(self):
+        eng = self._require_engine()
+        if eng.mesh is None:
+            raise RuntimeError("no mesh: send sample or fit first")
+        return eng
+
+    # -- lifecycle ------------------------------------------------------
+
+    def _cmd_ping(self, req, emit):
+        return {"pong": True}
+
+    def _cmd_init_random(self, req, emit):
+        """Random-init engine (smoke/serving without checkpoints)."""
+        from ishapediting_tpu.config import preset
+        from ishapediting_tpu.edit.engine import DragEngine
+
+        cfg = preset(
+            req.get("preset", "tiny"),
+            num_steps=int(req.get("num_steps", 200)),
+            use_ddim=bool(req.get("use_ddim", False)),
+        )
+        self.engine = DragEngine(cfg, seed=int(req.get("seed", 0)))
+        return {"preset": req.get("preset", "tiny")}
+
+    def _cmd_load_model(self, req, emit):
+        from ishapediting_tpu.config import preset
+        from ishapediting_tpu.edit.engine import DragEngine
+
+        cfg = None
+        if "preset" in req:
+            cfg = preset(
+                req["preset"],
+                num_steps=int(req.get("num_steps", 200)),
+                use_ddim=bool(req.get("use_ddim", False)),
+            )
+        self.engine = DragEngine.from_model_dir(req["model_dir"], config=cfg)
+        return {"model_dir": req["model_dir"]}
+
+    def _cmd_status(self, req, emit):
+        eng = self.engine
+        if eng is None:
+            return {"engine": None}
+        return {
+            "engine": {
+                "has_latent": eng.w is not None,
+                "has_mesh": eng.mesh is not None,
+                "has_inversion": eng.variance_noise is not None,
+                "respacing": eng.config.diffusion.timestep_respacing,
+                "w_time": eng.config.edit.w_time,
+                "image_size": eng.config.unet.image_size,
+            }
+        }
+
+    def _cmd_quit(self, req, emit):
+        return {"bye": True, "_quit": True}
+
+    # -- shape creation ---------------------------------------------------
+
+    def _cmd_sample(self, req, emit):
+        eng = self._require_engine()
+        eng.update_latent_params(seed=int(req.get("seed", 0)))
+        return {
+            "vertices": int(len(eng.mesh.vertices)),
+            "triangles": int(len(eng.mesh.triangles)),
+        }
+
+    def _cmd_fit(self, req, emit):
+        eng = self._require_engine()
+        eng.fit_real_shape(
+            mesh_path=req.get("mesh_path"),
+            tri_feat_path=req.get("tri_feat_path"),
+            path=req.get("workdir", "."),
+            seed=int(req.get("seed", 0)),
+        )
+        return {
+            "vertices": int(len(eng.mesh.vertices)),
+            "triangles": int(len(eng.mesh.triangles)),
+        }
+
+    # -- editing -----------------------------------------------------------
+
+    def _cmd_drag(self, req, emit):
+        eng = self._require_mesh()
+        sources = np.asarray(req["sources"], np.float64).reshape(-1, 3)
+        targets = np.asarray(req["targets"], np.float64).reshape(-1, 3)
+        if len(sources) != len(targets) or len(sources) == 0:
+            raise ValueError("sources/targets must be equal-length, non-empty")
+        scale = float(req.get("scale", eng.config.edit.grad_scale))
+        cof = float(req.get("cof", eng.config.edit.mask_weight))
+        eng.train_flag = True
+        mesh = eng.drag_edit(
+            sources,
+            targets,
+            scale=scale,
+            cof=cof,
+            seed=int(req.get("seed", 0)),
+            chunk=int(req.get("chunk", 10)),
+            noise_mode=req.get("noise_mode", "resample"),
+            progress_callback=lambda v: emit({"event": "progress", "value": float(v)}),
+        )
+        self.last_drag = {
+            "sources": sources.tolist(),
+            "targets": targets.tolist(),
+            "scale": scale,
+            "cof": cof,
+        }
+        return {
+            "vertices": int(len(mesh.vertices)),
+            "triangles": int(len(mesh.triangles)),
+            "stopped_early": not eng.train_flag,
+        }
+
+    def _cmd_stop(self, req, emit):
+        eng = self._require_engine()
+        eng.train_flag = False
+        return {}
+
+    def _cmd_reset(self, req, emit):
+        self._require_engine().reset_params()
+        return {}
+
+    def _cmd_clear(self, req, emit):
+        self._require_engine().clear_params()
+        return {}
+
+    # -- capture ------------------------------------------------------------
+
+    def _cmd_save_mesh(self, req, emit):
+        eng = self._require_mesh()
+        mesh = eng.mesh0 if req.get("which") == "original" else eng.mesh
+        path = req["path"]
+        parent = os.path.dirname(os.path.abspath(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        mesh.write(path)
+        return {"path": path}
+
+    def _cmd_render(self, req, emit):
+        from ishapediting_tpu.geometry.render import render_mesh
+
+        eng = self._require_mesh()
+        mesh = eng.mesh0 if req.get("which") == "original" else eng.mesh
+        path = req["path"]
+        parent = os.path.dirname(os.path.abspath(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        render_mesh(mesh, size=int(req.get("size", 512)), save_path=path)
+        return {"path": path}
+
+    def _cmd_edit_log(self, req, emit):
+        """Write EditLog provenance for the last drag (reference format,
+        main.py:400-404)."""
+        from ishapediting_tpu.cli.edit import write_edit_log
+
+        if self.last_drag is None:
+            raise RuntimeError("no drag recorded yet")
+        self.edit_count += 1
+        edit_id = req.get("edit_id", f"{self.edit_count:02d}")
+        write_edit_log(
+            req["path"],
+            edit_id,
+            np.asarray(self.last_drag["sources"]),
+            np.asarray(self.last_drag["targets"]),
+            self.last_drag["scale"],
+            self.last_drag["cof"],
+        )
+        return {"path": req["path"], "edit_id": edit_id}
+
+    def _cmd_metrics(self, req, emit):
+        """Chamfer/Hausdorff between the current mesh and the original (or a
+        supplied mesh file) — the reference's offline eval metrics
+        (meshProcess.py:18-105) served online."""
+        from ishapediting_tpu.geometry.mesh import TriMesh
+        from ishapediting_tpu.geometry.metrics import (
+            chamfer_distance,
+            hausdorff_distance,
+        )
+
+        eng = self._require_mesh()
+        other = (
+            TriMesh.read(req["other_mesh_path"])
+            if "other_mesh_path" in req
+            else eng.mesh0
+        )
+        if other is None:
+            raise RuntimeError("no original mesh to compare against")
+        n = int(req.get("points", 20000))
+        return {
+            "chamfer": float(chamfer_distance(eng.mesh, other, point_num=n)),
+            "hausdorff": float(hausdorff_distance(eng.mesh, other, point_num=n)),
+        }
+
+
+def serve_loop(instream, outstream, server: Optional[EditServer] = None) -> None:
+    """Blocking request loop. Streams progress events; a ``stop`` line sent
+    during a drag is consumed between chunks via select() on ``instream``."""
+    server = server or EditServer()
+    pending = []
+
+    def emit(obj):
+        outstream.write(json.dumps(obj) + "\n")
+        outstream.flush()
+        # poll for a stop request between compiled chunks
+        if obj.get("event") == "progress" and _readable(instream):
+            line = instream.readline()
+            if line:
+                try:
+                    nxt = json.loads(line)
+                except json.JSONDecodeError:
+                    return
+                if nxt.get("cmd") == "stop" and server.engine is not None:
+                    server.engine.train_flag = False
+                    emit_resp({"ok": True, "cmd": "stop"})
+                else:
+                    pending.append(nxt)
+
+    def emit_resp(obj):
+        outstream.write(json.dumps(obj) + "\n")
+        outstream.flush()
+
+    while True:
+        if pending:
+            req = pending.pop(0)
+        else:
+            line = instream.readline()
+            if not line:
+                return
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as e:
+                emit_resp({"ok": False, "error": f"bad json: {e}"})
+                continue
+        resp = server.handle(req, emit=emit)
+        quit_now = resp.pop("_quit", False)
+        emit_resp(resp)
+        if quit_now:
+            return
+
+
+def _readable(stream) -> bool:
+    try:
+        return bool(select.select([stream], [], [], 0)[0])
+    except (ValueError, OSError, io.UnsupportedOperation, TypeError):
+        return False  # non-selectable stream (e.g. StringIO in tests)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpu", action="store_true", help="pin JAX to CPU")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    serve_loop(sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

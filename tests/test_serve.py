@@ -1,0 +1,114 @@
+"""Edit server (cli/serve.py): protocol handling + full engine flow through
+the JSON-lines interface."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from ishapediting_tpu.cli.serve import EditServer, serve_loop
+from ishapediting_tpu.edit.engine import DragEngine
+from tests.test_engine import TINY_PIPELINE
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = EditServer()
+    s.engine = DragEngine(TINY_PIPELINE, seed=0)
+    return s
+
+
+def test_unknown_and_ping():
+    s = EditServer()
+    assert s.handle({"cmd": "nope"})["ok"] is False
+    assert s.handle({})["ok"] is False
+    r = s.handle({"cmd": "ping"})
+    assert r["ok"] and r["pong"]
+
+
+def test_status_and_engine_guard():
+    s = EditServer()
+    assert s.handle({"cmd": "status"})["engine"] is None
+    r = s.handle({"cmd": "sample"})
+    assert r["ok"] is False and "no engine" in r["error"]
+
+
+def test_sample_drag_capture_flow(server, tmp_path):
+    r = server.handle({"cmd": "sample", "seed": 3})
+    assert r["ok"] and r["vertices"] > 0
+    st = server.handle({"cmd": "status"})["engine"]
+    assert st["has_latent"] and st["has_mesh"]
+
+    events = []
+    src = server.engine.mesh.vertices[0].tolist()
+    tgt = (np.asarray(src) + [0.15, 0, 0]).tolist()
+    r = server.handle(
+        {"cmd": "drag", "sources": [src], "targets": [tgt],
+         "scale": 20, "cof": 0.2, "chunk": 2},
+        emit=events.append,
+    )
+    assert r["ok"] and r["vertices"] > 0 and not r["stopped_early"]
+    values = [e["value"] for e in events if e.get("event") == "progress"]
+    assert values and values[-1] > 0.99
+
+    r = server.handle({"cmd": "save_mesh", "path": str(tmp_path / "m" / "e.obj")})
+    assert r["ok"] and (tmp_path / "m" / "e.obj").exists()
+    r = server.handle(
+        {"cmd": "save_mesh", "path": str(tmp_path / "orig.obj"), "which": "original"}
+    )
+    assert r["ok"]
+
+    r = server.handle({"cmd": "render", "path": str(tmp_path / "shot.png"), "size": 64})
+    assert r["ok"] and (tmp_path / "shot.png").exists()
+
+    r = server.handle({"cmd": "metrics", "points": 2000})
+    assert r["ok"] and r["chamfer"] >= 0 and r["hausdorff"] >= 0
+
+    r = server.handle({"cmd": "edit_log", "path": str(tmp_path / "EditLog")})
+    assert r["ok"] and r["edit_id"] == "01"
+    log = (tmp_path / "EditLog").read_text()
+    assert "Edit01:" in log and "Scale:20" in log
+
+    assert server.handle({"cmd": "reset"})["ok"]
+    assert server.handle({"cmd": "stop"})["ok"]
+    assert server.engine.train_flag is False
+
+
+def test_drag_validates_points(server):
+    server.handle({"cmd": "sample", "seed": 3})
+    r = server.handle({"cmd": "drag", "sources": [[0, 0, 0]], "targets": []})
+    assert r["ok"] is False and "equal-length" in r["error"]
+
+
+def test_serve_loop_protocol():
+    reqs = "\n".join(
+        [
+            '{"cmd": "ping"}',
+            "not json",
+            '{"cmd": "status"}',
+            '{"cmd": "quit"}',
+            '{"cmd": "ping"}',  # after quit: must not be processed
+        ]
+    )
+    out = io.StringIO()
+    serve_loop(io.StringIO(reqs + "\n"), out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0] == {"ok": True, "cmd": "ping", "pong": True}
+    assert lines[1]["ok"] is False and "bad json" in lines[1]["error"]
+    assert lines[2]["cmd"] == "status"
+    assert lines[3]["cmd"] == "quit" and lines[3]["bye"]
+    assert len(lines) == 4  # nothing after quit
+
+
+def test_serve_loop_eof_terminates():
+    out = io.StringIO()
+    serve_loop(io.StringIO(""), out)  # immediate EOF
+    assert out.getvalue() == ""
+
+
+def test_init_random_tiny():
+    s = EditServer()
+    r = s.handle({"cmd": "init_random", "preset": "tiny", "seed": 1})
+    assert r["ok"] and s.engine is not None
+    assert s.engine.config.unet.image_size == 16
