@@ -37,6 +37,7 @@ from ishapediting_tpu.ops.nn import (
     avg_pool_2x,
     conv2d,
     group_norm,
+    group_norm_silu,
     linear,
     nearest_upsample_2x,
     silu,
@@ -428,7 +429,7 @@ def _apply_res(
     (reference: unet.py:236-256)."""
     x = h
     gn1 = p[f"{prefix}.in_layers.0"]
-    hh = silu(group_norm(h, gn1["scale"], gn1["bias"]))
+    hh = group_norm_silu(h, gn1["scale"], gn1["bias"])
     if layer.updown == "up":
         hh = nearest_upsample_2x(hh)
         x = nearest_upsample_2x(x)
@@ -444,13 +445,14 @@ def _apply_res(
     gn2 = p[f"{prefix}.out_layers.0"]
     if layer.scale_shift:
         scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-        hh = group_norm(hh, gn2["scale"], gn2["bias"]) * (1 + scale) + shift
+        hh = group_norm_silu(
+            hh, gn2["scale"], gn2["bias"], film=(scale, shift)
+        )
     else:
         # additive time embedding (reference: unet.py:253-255)
-        hh = group_norm(
+        hh = group_norm_silu(
             hh + emb_out[:, None, None, :], gn2["scale"], gn2["bias"]
         )
-    hh = silu(hh)
     if dropout_rng is not None and dropout > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, hh.shape)
         hh = jnp.where(keep, hh / (1.0 - dropout), 0.0).astype(hh.dtype)
@@ -586,7 +588,7 @@ def unet_apply(
 
     h = h.astype(x.dtype)
     gn = params["out.0"]
-    h = silu(group_norm(h, gn["scale"], gn["bias"]))
+    h = group_norm_silu(h, gn["scale"], gn["bias"])
     c = params["out.2"]
     out = conv2d(h, c["w"], c["b"], padding=1)
     return out.astype(x.dtype), inter_feat

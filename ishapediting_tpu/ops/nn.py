@@ -253,6 +253,32 @@ def timestep_embedding(
     return embedding
 
 
+def group_norm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    film=None,
+) -> jnp.ndarray:
+    """``silu(group_norm(x) [FiLM])`` — the UNet's most common op chain
+    (every ResBlock runs it twice; reference: unet.py:214-252). On a genuine
+    TPU backend this dispatches to the fused two-pass Pallas kernel
+    (``ops/pallas_kernels.py``); elsewhere the XLA composition below is used.
+
+    ``film``: optional (scale, shift) broadcastable to [N, 1, 1, C] — the
+    ADM scale-shift-norm FiLM applied between GroupNorm and SiLU.
+    """
+    from ishapediting_tpu.ops import pallas_kernels as pk
+
+    if pk.pallas_enabled():
+        return pk.groupnorm_silu(x, scale, bias, num_groups, eps, film)
+    y = group_norm(x, scale, bias, num_groups, eps)
+    if film is not None:
+        y = y * (1 + film[0]) + film[1]
+    return silu(y)
+
+
 def channel_nearest_resize(x: jnp.ndarray, new_c: int, axis: int = -1) -> jnp.ndarray:
     """Nearest-neighbor resize along one axis, matching
     ``F.interpolate(mode='nearest')`` index mapping floor(i * src / dst)
