@@ -85,6 +85,15 @@ def unet_flops_per_sample(cfg: UNetConfig) -> float:
     return flops
 
 
+def _resolved_conv_impl() -> str:
+    from ishapediting_tpu.ops.nn import _conv_impl
+
+    import os
+
+    choice = os.environ.get("ISHAPE_CONV_IMPL", "auto")
+    return f"{choice}({_conv_impl()})" if choice == "auto" else choice
+
+
 def main():
     # persistent compile cache when the backend supports it
     try:
@@ -161,7 +170,7 @@ def main():
                     "wall_s_per_batch_median": round(median, 4),
                     "chip_tflops_effective": round(chip_tflops_eff, 1),
                     "unet_tflops_fwd_per_sample": round(flops_fwd / 1e12, 3),
-                    "conv_impl": os.environ.get("ISHAPE_CONV_IMPL", "auto(tap)"),
+                    "conv_impl": _resolved_conv_impl(),
                     "a100_baseline": {
                         "peak_fp16_tflops": 312,
                         "assumed_mfu": mfu,

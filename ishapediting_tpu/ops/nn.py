@@ -57,10 +57,12 @@ def _conv_impl() -> str:
 
     ``ISHAPE_CONV_IMPL`` = xla | im2col | tap | auto (default auto).
 
-    auto: the native conv op on the axon backend runs at ~4 TFLOP/s while
-    its matmul path sustains >140 TFLOP/s (measured, see docs/PERF.md), so
-    non-CPU/TPU backends get the tap-accumulated matmul formulation; CPU and
-    genuine TPU keep ``lax.conv_general_dilated``.
+    auto: backends that report cpu/tpu/gpu lower ``lax.conv_general_dilated``
+    onto the fast path (measured on the current axon runtime: native conv
+    beats the matmul formulations 1.5x at model scale — docs/PERF.md
+    "Runtime update"); other backends (e.g. the older axon runtime, whose
+    native conv ran ~30x below its matmul rate) get the tap-accumulated
+    matmul formulation.
     """
     global _CONV_IMPL_CACHE
     if _CONV_IMPL_CACHE is None:

@@ -42,6 +42,21 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _genuine_tpu() -> bool:
+    """True only on a real TPU backend that can run Mosaic. The axon harness
+    backend reports platform "tpu" but cannot lower Mosaic (hangs —
+    docs/PERF.md); it identifies itself in ``platform_version``."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        from jax._src import xla_bridge
+
+        version = getattr(xla_bridge.get_backend(), "platform_version", "")
+        return "axon" not in version.lower()
+    except Exception:  # pragma: no cover
+        return False
+
+
 def pallas_enabled() -> bool:
     """Should the UNet dispatch to these kernels? (trace-time decision)"""
     choice = os.environ.get("ISHAPE_PALLAS", "auto")
@@ -49,18 +64,12 @@ def pallas_enabled() -> bool:
         return False
     if choice == "1":
         return _HAS_PLTPU
-    try:
-        return _HAS_PLTPU and jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return _HAS_PLTPU and _genuine_tpu()
 
 
 def _interpret() -> bool:
-    """Interpret mode off only on a genuine TPU backend."""
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:  # pragma: no cover
-        return True
+    """Interpret mode off only on a genuine (Mosaic-capable) TPU backend."""
+    return not _genuine_tpu()
 
 
 def _vmem_spec(*args, **kw):
@@ -262,14 +271,21 @@ def _attn_pallas(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     n, t, width = qkv.shape
     assert width % (3 * num_heads) == 0, (width, num_heads)
     ch = width // (3 * num_heads)
-    return pl.pallas_call(
+    # fold heads into the leading (grid) axis so every block spans its full
+    # trailing dims (Mosaic requires last-two block dims divisible by (8,128)
+    # or equal to the array dims); the transposes fuse into neighbors
+    x = qkv.reshape(n, t, num_heads, 3 * ch).transpose(0, 2, 1, 3)
+    x = x.reshape(n * num_heads, t, 3 * ch)
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, ch),
-        grid=(n, num_heads),
-        in_specs=[_vmem_spec((1, t, 3 * ch), lambda i, h: (i, 0, h))],
-        out_specs=_vmem_spec((1, t, ch), lambda i, h: (i, 0, h)),
-        out_shape=jax.ShapeDtypeStruct((n, t, num_heads * ch), qkv.dtype),
+        grid=(n * num_heads,),
+        in_specs=[_vmem_spec((1, t, 3 * ch), lambda i: (i, 0, 0))],
+        out_specs=_vmem_spec((1, t, ch), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * num_heads, t, ch), qkv.dtype),
         interpret=_interpret(),
-    )(qkv)
+    )(x)
+    out = out.reshape(n, num_heads, t, ch).transpose(0, 2, 1, 3)
+    return out.reshape(n, t, num_heads * ch)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

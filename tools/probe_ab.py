@@ -51,7 +51,9 @@ def main():
     params = init_unet_params(jax.random.PRNGKey(0), cfg)
     x_T = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 128, 128, 96), jnp.float32)
 
-    impls = ["im2col", "tap"]
+    import sys
+
+    impls = sys.argv[1:] or ["im2col", "tap"]
     fns = {}
     for impl in impls:
         nnops._CONV_IMPL_CACHE = impl
