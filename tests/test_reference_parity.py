@@ -524,3 +524,94 @@ def test_multitriplane_decoder_parity():
     np.testing.assert_allclose(
         np.asarray(ours_grid), ref_grid, rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("loss_type", ["l2", "l1"])
+def test_drag_losses_parity(loss_type):
+    """Full drag-edit loss (motion + complement-mask regularization) vs a
+    torch transcription of the reference's training loop internals
+    (drag_utils.py:315-384): neighborhood projection, plane grid_sample,
+    set-arithmetic masks, and the exact normalization constants — the whole
+    loss-level composition in one check."""
+    import torch.nn.functional as F
+
+    from ishapediting_tpu.edit.drag import build_drag_problem, drag_losses
+
+    rng = np.random.default_rng(11)
+    s, C, B, r1 = 16, 9, 2, 2
+    voxel = 2.0 / s
+    origin = rng.standard_normal((3, C, s, s)).astype(np.float32)
+    edit = rng.standard_normal((3, C, s, s)).astype(np.float32)
+    sources = rng.uniform(-0.6, 0.6, (B, 3)).astype(np.float32)
+    targets = (sources + rng.uniform(-0.25, 0.25, (B, 3))).astype(np.float32)
+
+    # --- reference composition, torch -------------------------------------
+    so, ta = torch.tensor(sources), torch.tensor(targets)
+    p = torch.arange(-r1, r1 + 1)
+    px, py, pz = torch.meshgrid(p, p, p, indexing="ij")
+    offs = torch.stack(
+        [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], dim=-1
+    ).float()  # make_offsets (drag_utils.py:134-138)
+    patch_pnt = so.unsqueeze(1) + voxel * offs.unsqueeze(0)  # B*N1*3
+    shift_pnt = ta.unsqueeze(1) + voxel * offs.unsqueeze(0)
+
+    def to_grid(pnt):  # drag_utils.py:318-321
+        return torch.cat(
+            (
+                pnt[..., :2].unsqueeze(0),
+                pnt[..., 1:].unsqueeze(0),
+                pnt[..., :3:2].unsqueeze(0),
+            ),
+            dim=0,
+        )  # 3*B*N1*2
+
+    patch_grid = to_grid(patch_pnt)
+    shift_grid = to_grid(shift_pnt)
+
+    # complement masks via literal set arithmetic (drag_utils.py:322-334)
+    patch_int = torch.round((patch_pnt + 1) * (s - 1) / 2).to(torch.int16).reshape(-1, 3)
+    shift_int = torch.round((shift_pnt + 1) * (s - 1) / 2).to(torch.int16).reshape(-1, 3)
+    content = torch.cat((patch_int, shift_int), dim=0)
+    pr = torch.arange(0, s).type(torch.int16)
+    gx, gy = torch.meshgrid(pr, pr, indexing="ij")
+    total = set(
+        tuple(i)
+        for i in torch.stack([gx.reshape(-1), gy.reshape(-1)], dim=-1).tolist()
+    )
+    masks_idx = []
+    for cols in ([1, 0], [2, 1], [2, 0]):
+        kept = total - set(tuple(i) for i in content[:, cols].tolist())
+        masks_idx.append(torch.tensor(sorted(kept)))
+    o_t, e_t = torch.tensor(origin), torch.tensor(edit)
+    patch_feature = F.grid_sample(
+        o_t, patch_grid, mode="bilinear", padding_mode="zeros", align_corners=True
+    )  # 3*C*B*N1
+    shift_feature = F.grid_sample(
+        e_t, shift_grid, mode="bilinear", padding_mode="zeros", align_corners=True
+    )
+    n_mask = sum(m.shape[0] for m in masks_idx)
+    diffs = [
+        e_t[k, :, masks_idx[k][:, 0], masks_idx[k][:, 1]]
+        - o_t[k, :, masks_idx[k][:, 0], masks_idx[k][:, 1]]
+        for k in range(3)
+    ]
+    if loss_type == "l1":
+        ref_motion = F.l1_loss(shift_feature, patch_feature).item()
+        ref_mask = (sum(d.abs().sum() for d in diffs) / (C * n_mask)).item()
+    else:
+        ref_motion = (
+            ((shift_feature.reshape(-1) - patch_feature.reshape(-1)) ** 2)
+            .mean()
+            .item()
+        )
+        ref_mask = (sum((d**2).sum() for d in diffs) / (C * n_mask)).item()
+
+    # --- ours --------------------------------------------------------------
+    problem = build_drag_problem(
+        sources, targets, r1=r1, voxel_size=voxel, feat_width=s
+    )
+    origin_nhwc = jnp.asarray(origin.transpose(0, 2, 3, 1))
+    edit_nhwc = jnp.asarray(edit.transpose(0, 2, 3, 1))
+    motion, mask = drag_losses(edit_nhwc, origin_nhwc, problem, loss_type)
+    np.testing.assert_allclose(float(motion), ref_motion, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(mask), ref_mask, rtol=1e-5, atol=1e-6)
