@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ishape_jax_cache")
+# NOTE: do not set jax_compilation_cache_dir on axon — measured 20x slower
+# init/compile with it (docs/PERF.md "Runtime update").
 
 import ishapediting_tpu.ops.nn as nnops
 import ishapediting_tpu.models.unet as unet_mod

@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ishape_jax_cache")
+# NOTE: do not set jax_compilation_cache_dir on axon — measured 20x slower
+# init/compile with it (docs/PERF.md "Runtime update").
 
 from ishapediting_tpu.config import UNetConfig
 from ishapediting_tpu.core.diffusion import ddim_sample_loop
