@@ -122,6 +122,12 @@ class EditConfig:
     r1: int = 12  # cubic neighborhood radius, in shape-grid voxels
     shape_resolution: int = 256
     loss_type: str = "l2"  # "l1" | "l2"
+    # Storage dtype of the per-step guidance feature cache
+    # ([w_time, 3, s, s, C'] — ~1.7 GB fp32 per shape at full scale; the
+    # reference parks it on host CPU, drag_utils.py:276). "bfloat16" halves
+    # it (doubling per-chip batched-edit capacity); losses always compute
+    # in fp32 regardless.
+    feat_store_dtype: str = "float32"  # "float32" | "bfloat16"
 
     @property
     def voxel_size(self) -> float:

@@ -144,25 +144,29 @@ def invert_batched(
     clip_denoised: bool = True,
     chunk: int = 2,
     mesh: Optional[Mesh] = None,
+    feat_dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """Edit-friendly inversion of N latents in one program, reshaped for
     ``drag_edit_batched``:
 
       w:               [N, 1, H, W, C]
-      features:        [N, w_time, 3, s, s, C']
+      features:        [N, w_time, 3, s, s, C']  (``feat_dtype``; bf16
+                       halves the dominant N x w_time feature footprint —
+                       the drag losses upcast to fp32)
       variances:       [N, w_time, 1, H, W, C]
       variance_noise:  [N, w_time, 1, H, W, C]
       sample:          [N, H, W, C]  (== latents, replay identity)
     """
     if mesh is not None:
         latents = jax.device_put(latents, NamedSharding(mesh, P("data")))
+    feat_dtype = jnp.dtype(feat_dtype)
     out = ddpm_inversion(
         sched,
         model_fn_feat,
         latents,
         rng,
         steps=w_time,
-        feat_postprocess=regroup_features,
+        feat_postprocess=lambda f: regroup_features(f).astype(feat_dtype),
         clip_denoised=clip_denoised,
         chunk=chunk,
     )

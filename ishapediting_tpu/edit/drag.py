@@ -78,8 +78,12 @@ def drag_losses(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(motion_loss, mask_loss), both scalars (reference: drag_utils.py:355-382).
 
-    ``edit_feat``/``origin_feat``: [3, s, s, C] plane features.
+    ``edit_feat``/``origin_feat``: [3, s, s, C] plane features. Losses
+    always compute in fp32 — the cache may be stored bf16
+    (EditConfig.feat_store_dtype) to halve its ~1.7 GB/shape footprint.
     """
+    edit_feat = edit_feat.astype(jnp.float32)
+    origin_feat = origin_feat.astype(jnp.float32)
     c = edit_feat.shape[-1]
     patch_feature = jax.lax.stop_gradient(
         grid_sample_2d(origin_feat, problem.patch_grid)

@@ -233,9 +233,10 @@ class DragEngine:
         self.latent_code = np.asarray(latent)
 
         w_time = self.config.edit.w_time
+        feat_dtype = jnp.dtype(self.config.edit.feat_store_dtype)
         mf = self._model_fn_p(feat=True)
         fn = self._jit(
-            ("sample_feat", w_time),
+            ("sample_feat", w_time, str(feat_dtype)),
             lambda: jax.jit(
                 lambda params, x, r: sample_loop_with_features(
                     self.sched,
@@ -243,7 +244,9 @@ class DragEngine:
                     x,
                     r,
                     w_time=w_time,
-                    feat_postprocess=lambda f: regroup_features(f)[0],
+                    feat_postprocess=lambda f: regroup_features(f)[0].astype(
+                        feat_dtype
+                    ),
                     clip_denoised=self.config.diffusion.clip_denoised,
                 )
             ),
@@ -582,9 +585,10 @@ class DragEngine:
         """Edit-friendly DDPM inversion: record w, per-step features,
         variances and variance_noise (reference: drag_utils.py:552-566)."""
         w_time = self.config.edit.w_time
+        feat_dtype = jnp.dtype(self.config.edit.feat_store_dtype)
         mf = self._model_fn_p(feat=True)
         fn = self._jit(
-            ("inversion", w_time),
+            ("inversion", w_time, str(feat_dtype)),
             lambda: jax.jit(
                 lambda params, x, r: ddpm_inversion(
                     self.sched,
@@ -592,7 +596,9 @@ class DragEngine:
                     x,
                     r,
                     steps=w_time,
-                    feat_postprocess=regroup_features,
+                    feat_postprocess=lambda f: regroup_features(f).astype(
+                        feat_dtype
+                    ),
                     clip_denoised=self.config.diffusion.clip_denoised,
                     chunk=2,
                 )

@@ -194,3 +194,35 @@ def test_predict_xstart_config_path():
     x0 = eng.update_latent_params(seed=1)
     assert x0.shape == (1, 16, 16, 6)
     assert np.isfinite(x0).all()
+
+
+def test_bf16_feature_store(engine):
+    """EditConfig.feat_store_dtype='bfloat16' halves the guidance-feature
+    cache; the drag result must stay close to the fp32-store run (losses
+    compute in fp32 either way)."""
+    src = np.array([[0.3, 0.0, 0.0]])
+    tgt = np.array([[0.45, 0.0, 0.0]])
+
+    engine.update_latent_params(seed=3)
+    engine.drag_edit(src, tgt, scale=50.0, cof=0.2, chunk=3)
+    w_fp32 = np.asarray(engine.edited_latent)
+    ref_latent = np.asarray(engine.latent_code)
+
+    cfg16 = dataclasses.replace(
+        TINY_PIPELINE, edit=dataclasses.replace(TINY_PIPELINE.edit,
+                                                feat_store_dtype="bfloat16")
+    )
+    eng16 = DragEngine(cfg16, seed=0)
+    eng16.update_latent_params(latent=ref_latent, seed=3)
+    assert eng16.feature_guidance.dtype == jnp.bfloat16
+    eng16.drag_edit(src, tgt, scale=50.0, cof=0.2, chunk=3)
+    w_bf16 = np.asarray(eng16.edited_latent)
+    assert np.isfinite(w_bf16).all()
+    # same trajectory up to bf16 feature quantization in the guidance grad
+    assert np.max(np.abs(w_bf16 - w_fp32)) < 0.15
+    assert np.corrcoef(w_bf16.ravel(), w_fp32.ravel())[0, 1] > 0.99
+
+    # inversion path stores bf16 features too, and replay stays exact
+    lat = np.asarray(eng16.latent_code)
+    eng16.latent_inversion(lat, seed=1)
+    assert eng16.feature_guidance.dtype == jnp.bfloat16
