@@ -94,23 +94,14 @@ def _resolved_conv_impl() -> str:
     return f"{choice}({_conv_impl()})" if choice == "auto" else choice
 
 
-def _axon_runtime() -> bool:
-    try:
-        from jax._src import xla_bridge
-
-        return "axon" in getattr(
-            xla_bridge.get_backend(), "platform_version", ""
-        ).lower()
-    except Exception:  # pragma: no cover
-        return False
-
-
 def main():
     # Persistent compile cache — but NOT on the axon tunnel runtime, where
     # cache serialization of the large programs is measured ACTIVELY harmful
     # (init 7.8 s -> 171.7 s with the cache dir set; docs/PERF.md
     # "Runtime update"). Real TPU/CPU backends benefit normally.
-    if not _axon_runtime():
+    from ishapediting_tpu.ops.pallas_kernels import axon_runtime
+
+    if not axon_runtime():
         try:
             jax.config.update("jax_compilation_cache_dir", "/tmp/ishape_jax_cache")
         except Exception:

@@ -98,8 +98,9 @@ def main(argv=None):
             "lam": args.lam,
         }
         specs = [shared] * n
-    scale = float(specs[0]["scale"])
-    lam = float(specs[0]["lam"])
+    # per-shape edit strengths (each EditLog entry keeps its own Scale/Lambda)
+    scales = np.asarray([float(s["scale"]) for s in specs], np.float32)
+    lams = np.asarray([float(s["lam"]) for s in specs], np.float32)
 
     config = preset(args.preset, args.num_steps)
     if args.model_dir:
@@ -173,6 +174,7 @@ def main(argv=None):
         w_time=config.edit.w_time,
         clip_denoised=config.diffusion.clip_denoised,
         mesh=mesh,
+        feat_dtype=jnp.dtype(config.edit.feat_store_dtype),
     )
 
     # --- drag (batched, sharded) ------------------------------------------
@@ -193,8 +195,8 @@ def main(argv=None):
         problems,
         jax.random.fold_in(rng, 2),
         w_time=config.edit.w_time,
-        scale=scale,
-        cof=lam,
+        scale=scales,
+        cof=lams,
         clip_denoised=config.diffusion.clip_denoised,
         mesh=mesh,
         noise_mode=args.noise_mode,

@@ -73,7 +73,12 @@ class UNetConfig:
             }
             mult = table[image_size]
         else:
-            mult = tuple(int(m) for m in channel_mult.split(","))
+            # keep fractional entries ("0.5,1,1,2,2,4,4" — the 512 config);
+            # integral values stay ints so configs hash/compare cleanly
+            mult = tuple(
+                int(f) if float(f).is_integer() else float(f)
+                for f in (float(m) for m in channel_mult.split(","))
+            )
         att_ds = tuple(
             image_size // int(res) for res in attention_resolutions.split(",")
         )

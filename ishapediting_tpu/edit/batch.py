@@ -61,8 +61,8 @@ def drag_edit_batched(
     rng: jax.Array,
     *,
     w_time: int,
-    scale: float,
-    cof: float,
+    scale,
+    cof,
     loss_type: str = "l2",
     clip_denoised: bool = True,
     mesh: Optional[Mesh] = None,
@@ -74,6 +74,9 @@ def drag_edit_batched(
 
     With ``mesh`` given, the shape axis is sharded over ``data`` (pjit;
     XLA keeps each trajectory chip-local).
+
+    ``scale`` / ``cof`` may be scalars or per-shape [N] arrays (each shape's
+    own edit strength, e.g. from per-edit EditLog entries).
 
     ``noise_mode`` matches the single-shape engine (edit/engine.py):
     "resample" (fresh noise), "fixed_variance" (inversion-recorded variance),
@@ -95,13 +98,17 @@ def drag_edit_batched(
         variances_batch = jnp.zeros((n, w_time), jnp.float32)
         variance_noise_batch = jnp.zeros((n, w_time), jnp.float32)
 
-    def one_shape(w, feats, variances, variance_noises, problem, key):
+    # scalars or per-shape [N] arrays; traced (never baked into the jaxpr)
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n,))
+    cof = jnp.broadcast_to(jnp.asarray(cof, jnp.float32), (n,))
+
+    def one_shape(p, w, feats, variances, variance_noises, problem, key, sc, cf):
         step = make_drag_step(
             sched,
-            partial(model_fn_p, params),
+            partial(model_fn_p, p),
             problem,
-            scale=scale,
-            cof=cof,
+            scale=sc,
+            cof=cf,
             loss_type=loss_type,
             clip_denoised=clip_denoised,
         )
@@ -122,7 +129,10 @@ def drag_edit_batched(
         return img
 
     keys = jax.random.split(rng, n)
-    fn = jax.vmap(one_shape, in_axes=(0, 0, 0, 0, 0, 0))
+    # params are a jit ARGUMENT (vmap-broadcast), never a closure constant —
+    # closed-over 421M-param trees make compiles non-terminating on some
+    # backends (docs/PERF.md, CLAUDE.md).
+    fn = jax.vmap(one_shape, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
     args = (w_batch, features_batch, variances_batch, variance_noise_batch)
     if mesh is not None:
         shard = NamedSharding(mesh, P("data"))
@@ -131,7 +141,7 @@ def drag_edit_batched(
         fn = jax.jit(fn, out_shardings=shard)
     else:
         fn = jax.jit(fn)
-    return fn(*args, problems, keys)
+    return fn(params, *args, problems, keys, scale, cof)
 
 
 def invert_batched(

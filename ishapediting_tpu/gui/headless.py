@@ -385,12 +385,42 @@ class Open3DScene:
 
 
 class SceneWidget(_Widget):
+    """``frame`` and ``scene`` are properties so the scene's render_size
+    always tracks the widget frame — picking unprojects with
+    (frame.width, frame.height) and indexes the depth image, so a layout
+    pass resizing the frame must resize the rasterization too."""
+
     def __init__(self):
         super().__init__()
-        self.scene = None
+        self._scene = None
         self.on_mouse = None
-        self.frame = Rect(0, 0, 640, 480)
+        self._frame = Rect(0, 0, 640, 480)
         self.camera_setup = None
+
+    @property
+    def frame(self):
+        return self._frame
+
+    @frame.setter
+    def frame(self, rect):
+        self._frame = rect
+        self._sync_render_size()
+
+    @property
+    def scene(self):
+        return self._scene
+
+    @scene.setter
+    def scene(self, s):
+        self._scene = s
+        self._sync_render_size()
+
+    def _sync_render_size(self):
+        # getattr: the base __init__ assigns ``frame`` before _scene exists
+        scene = getattr(self, "_scene", None)
+        frame = getattr(self, "_frame", None)
+        if scene is not None and getattr(frame, "width", 0):
+            scene.render_size = (int(frame.width), int(frame.height))
 
     def set_on_mouse(self, fn):
         self.on_mouse = fn

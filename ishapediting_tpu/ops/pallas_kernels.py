@@ -42,17 +42,25 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _genuine_tpu() -> bool:
-    """True only on a real TPU backend that can run Mosaic. The axon harness
-    backend reports platform "tpu" but cannot lower Mosaic (hangs —
-    docs/PERF.md); it identifies itself in ``platform_version``."""
+def axon_runtime() -> bool:
+    """Is the current backend the axon harness runtime? It reports platform
+    "tpu" but identifies itself in ``platform_version``. Single source of
+    truth for this detection — bench.py and the Mosaic gate both use it
+    (the runtime has already renamed itself once; fix detection HERE)."""
     try:
-        if jax.default_backend() != "tpu":
-            return False
         from jax._src import xla_bridge
 
         version = getattr(xla_bridge.get_backend(), "platform_version", "")
-        return "axon" not in version.lower()
+        return "axon" in version.lower()
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _genuine_tpu() -> bool:
+    """True only on a real TPU backend that can run Mosaic (the axon
+    backend cannot — hangs, docs/PERF.md)."""
+    try:
+        return jax.default_backend() == "tpu" and not axon_runtime()
     except Exception:  # pragma: no cover
         return False
 

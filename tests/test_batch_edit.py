@@ -283,3 +283,55 @@ def test_build_batched_problems_pads_handles():
         r1=1, voxel_size=0.1, feat_width=8,
     )
     assert problems.patch_grid.shape[:3] == (2, 3, 3)  # padded to 3 handles
+
+
+def test_batched_per_shape_scale_cof(engine):
+    """Per-shape [N] scale/cof arrays: each shape must match an independent
+    edit run at its own strength (EditLog entries keep their own
+    Scale/Lambda in the batch CLI)."""
+    w_time = TINY_PIPELINE.edit.w_time
+    edit_cfg = TINY_PIPELINE.edit
+    scales, cofs = [30.0, 90.0], [0.1, 0.4]
+
+    ws, feats, problems = [], [], []
+    for i in range(2):
+        engine.update_latent_params(seed=40 + i)
+        ws.append(np.asarray(engine.w))
+        feats.append(np.asarray(engine.feature_guidance))
+        src = np.array([[0.1 * (i + 1), 0.0, 0.0]], np.float32)
+        tgt = src + np.array([[0.15, 0.0, 0.0]], np.float32)
+        problems.append(
+            build_drag_problem(
+                src, tgt, r1=edit_cfg.r1, voxel_size=edit_cfg.voxel_size,
+                feat_width=feats[-1].shape[-2],
+            )
+        )
+
+    rng = jax.random.PRNGKey(7)
+    model_fn_p = engine._model_fn_p(feat=True)
+    out = drag_edit_batched(
+        engine.sched,
+        model_fn_p,
+        engine.unet_params,
+        jnp.asarray(np.stack(ws)),
+        jnp.asarray(np.stack(feats)),
+        stack_problems(problems),
+        rng,
+        w_time=w_time,
+        scale=np.asarray(scales, np.float32),
+        cof=np.asarray(cofs, np.float32),
+    )
+    keys = jax.random.split(rng, 2)
+    for i in range(2):
+        ref = drag_edit_scan(
+            engine.sched,
+            lambda x, t: model_fn_p(engine.unet_params, x, t),
+            problems[i],
+            jnp.asarray(ws[i]),
+            jnp.asarray(feats[i]),
+            keys[i],
+            w_time=w_time,
+            scale=scales[i],
+            cof=cofs[i],
+        )
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref), atol=2e-4)
