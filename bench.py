@@ -108,6 +108,16 @@ def main():
             pass
     cfg = UNetConfig()  # published model, bf16 torso
     sched = make_schedule(1000, "linear", f"ddim{DDIM_STEPS}")
+
+    # The tunnel backend charges a large one-time per-session penalty to the
+    # FIRST compile regardless of program size (measured: a trivial 250-slice
+    # program 472 s as first program, a 2000-slice one 4 s right after —
+    # docs/PERF.md "Runtime update"). Absorb it here so param_init_s /
+    # compile_s report the real program costs.
+    t0 = time.perf_counter()
+    float(np.asarray(jnp.sum(jax.jit(lambda x: x + 1)(jnp.zeros(8)))))
+    warmup_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     params = init_unet_params(jax.random.PRNGKey(0), cfg)
     # init dispatches ~2k small RNG ops; force completion so compile_s below
@@ -170,6 +180,7 @@ def main():
                 "vs_baseline": round(samples_per_sec / a100_samples_per_sec, 3),
                 "detail": {
                     "batch": BATCH,
+                    "session_warmup_s": round(warmup_s, 1),
                     "compile_s": round(compile_s, 1),
                     "param_init_s": round(init_s, 1),
                     "wall_s_per_batch": round(best, 4),
