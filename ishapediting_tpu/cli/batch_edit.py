@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inversion-anchored replay (default) or fresh noise")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited_batch")
+    p.add_argument("--feat_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="guidance-feature cache dtype (bfloat16 halves the "
+                        "dominant N x w_time feature footprint)")
     return p
 
 
@@ -103,6 +107,15 @@ def main(argv=None):
     lams = np.asarray([float(s["lam"]) for s in specs], np.float32)
 
     config = preset(args.preset, args.num_steps)
+    if args.feat_dtype != config.edit.feat_store_dtype:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            edit=dataclasses.replace(
+                config.edit, feat_store_dtype=args.feat_dtype
+            ),
+        )
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)
     elif args.random_init:
