@@ -278,7 +278,7 @@ def main(argv=None):
         if args.drag_scale > 0
         else [300.0, 600.0, 1000.0, 1500.0, 2500.0, 4000.0]
     )
-    best = None  # (gap_to_target, scale, mesh, delta)
+    best = None  # (gap_to_target, scale, mesh, latent, delta)
     for scale in sweep:
         m = engine.drag_edit(
             handle[None], target[None], scale=scale, cof=args.drag_cof,
@@ -291,12 +291,16 @@ def main(argv=None):
         logger.log(f"  scale {scale:6.0f}: moved +x surface by {d:+.3f}")
         gap = abs(d - 0.25)
         if best is None or gap < best[0]:
-            best = (gap, scale, m, d)
+            best = (gap, scale, m, np.asarray(engine.edited_latent), d)
     if best is None:
         logger.log("edited mesh empty at every scale — edit diverged")
         edited, delta = engine.mesh, None
     else:
-        _, scale, edited, delta = best
+        _, scale, edited, best_latent, delta = best
+        # re-sync engine state to the SELECTED edit (the loop left it at the
+        # last swept scale)
+        engine.edited_latent = best_latent
+        engine.mesh = edited
         ex = edited.vertices[:, 0]
         logger.log(
             f"edited mesh:   {len(edited.vertices)} verts at scale "

@@ -56,10 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inversion-anchored replay (default) or fresh noise")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited_batch")
-    p.add_argument("--feat_dtype", type=str, default="float32",
+    p.add_argument("--feat_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="guidance-feature cache dtype (bfloat16 halves the "
-                        "dominant N x w_time feature footprint)")
+                        "dominant N x w_time feature footprint); default: "
+                        "keep config")
     return p
 
 
@@ -106,16 +107,11 @@ def main(argv=None):
     scales = np.asarray([float(s["scale"]) for s in specs], np.float32)
     lams = np.asarray([float(s["lam"]) for s in specs], np.float32)
 
-    config = preset(args.preset, args.num_steps)
-    if args.feat_dtype != config.edit.feat_store_dtype:
-        import dataclasses
+    from ishapediting_tpu.config import with_feat_store_dtype
 
-        config = dataclasses.replace(
-            config,
-            edit=dataclasses.replace(
-                config.edit, feat_store_dtype=args.feat_dtype
-            ),
-        )
+    config = with_feat_store_dtype(
+        preset(args.preset, args.num_steps), args.feat_dtype
+    )
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)
     elif args.random_init:
@@ -181,7 +177,8 @@ def main(argv=None):
     print("edit-friendly inversion (batched) ...")
     inv = invert_batched(
         engine.sched,
-        lambda x, t: mf(engine.unet_params, x, t),
+        mf,
+        engine.unet_params,
         jnp.asarray(latents),
         jax.random.fold_in(rng, 1),
         w_time=config.edit.w_time,

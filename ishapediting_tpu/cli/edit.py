@@ -98,10 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="edited")
     p.add_argument("--render", action="store_true",
                    help="also save before/after PNG renders (headless)")
-    p.add_argument("--feat_dtype", type=str, default="float32",
+    p.add_argument("--feat_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="guidance-feature cache dtype (bfloat16 halves the "
-                        "~1.7 GB/shape footprint)")
+                        "~1.7 GB/shape footprint); default: keep config")
     return p
 
 
@@ -127,16 +127,11 @@ def main(argv=None):
             }
         }
 
-    config = preset(args.preset, args.num_steps)
-    if args.feat_dtype != config.edit.feat_store_dtype:
-        import dataclasses
+    from ishapediting_tpu.config import with_feat_store_dtype
 
-        config = dataclasses.replace(
-            config,
-            edit=dataclasses.replace(
-                config.edit, feat_store_dtype=args.feat_dtype
-            ),
-        )
+    config = with_feat_store_dtype(
+        preset(args.preset, args.num_steps), args.feat_dtype
+    )
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)
     elif args.random_init:

@@ -194,6 +194,18 @@ class PipelineConfig:
 # Per-category presets. All three released categories share the architecture;
 # they differ only in checkpoints/statistics (reference: generate.py:19-48).
 # "tiny" is a miniature same-topology pipeline for smoke tests / CPU runs.
+def with_feat_store_dtype(
+    config: "PipelineConfig", dtype: Optional[str]
+) -> "PipelineConfig":
+    """CLI helper: override ``edit.feat_store_dtype`` when ``dtype`` is
+    given; ``None`` keeps whatever the config/preset already says."""
+    if dtype is None or dtype == config.edit.feat_store_dtype:
+        return config
+    return dataclasses.replace(
+        config, edit=dataclasses.replace(config.edit, feat_store_dtype=dtype)
+    )
+
+
 def preset(
     category: str = "chairs", num_steps: int = 200, use_ddim: bool = False
 ) -> PipelineConfig:

@@ -146,7 +146,8 @@ def drag_edit_batched(
 
 def invert_batched(
     sched: Schedule,
-    model_fn_feat: Callable,
+    model_fn_p: Callable,
+    params,
     latents: jnp.ndarray,  # [N, H, W, C] normalized latents
     rng: jax.Array,
     *,
@@ -156,8 +157,8 @@ def invert_batched(
     mesh: Optional[Mesh] = None,
     feat_dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
-    """Edit-friendly inversion of N latents in one program, reshaped for
-    ``drag_edit_batched``:
+    """Edit-friendly inversion of N latents in ONE jitted program, reshaped
+    for ``drag_edit_batched``:
 
       w:               [N, 1, H, W, C]
       features:        [N, w_time, 3, s, s, C']  (``feat_dtype``; bf16
@@ -166,20 +167,27 @@ def invert_batched(
       variances:       [N, w_time, 1, H, W, C]
       variance_noise:  [N, w_time, 1, H, W, C]
       sample:          [N, H, W, C]  (== latents, replay identity)
+
+    ``model_fn_p(params, x, t)`` — params are a jit argument, never a
+    closure constant (CLAUDE.md / docs/PERF.md).
     """
     if mesh is not None:
         latents = jax.device_put(latents, NamedSharding(mesh, P("data")))
     feat_dtype = jnp.dtype(feat_dtype)
-    out = ddpm_inversion(
-        sched,
-        model_fn_feat,
-        latents,
-        rng,
-        steps=w_time,
-        feat_postprocess=lambda f: regroup_features(f).astype(feat_dtype),
-        clip_denoised=clip_denoised,
-        chunk=chunk,
-    )
+
+    def run(p, x, r):
+        return ddpm_inversion(
+            sched,
+            partial(model_fn_p, p),
+            x,
+            r,
+            steps=w_time,
+            feat_postprocess=lambda f: regroup_features(f).astype(feat_dtype),
+            clip_denoised=clip_denoised,
+            chunk=chunk,
+        )
+
+    out = jax.jit(run)(params, latents, rng)
     # [steps, N, ...] -> [N, steps, ...] with the per-shape singleton batch
     # axis the single-shape drag step expects.
     move = lambda a: jnp.moveaxis(a, 0, 1)

@@ -419,7 +419,11 @@ class SceneWidget(_Widget):
         # getattr: the base __init__ assigns ``frame`` before _scene exists
         scene = getattr(self, "_scene", None)
         frame = getattr(self, "_frame", None)
-        if scene is not None and getattr(frame, "width", 0):
+        if (
+            scene is not None
+            and getattr(frame, "width", 0)
+            and getattr(frame, "height", 0)
+        ):
             scene.render_size = (int(frame.width), int(frame.height))
 
     def set_on_mouse(self, fn):

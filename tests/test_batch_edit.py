@@ -139,7 +139,8 @@ def test_batched_inversion_replay_identity(engine):
     model_fn_p = engine._model_fn_p(feat=True)
     inv = invert_batched(
         engine.sched,
-        lambda x, t: model_fn_p(engine.unet_params, x, t),
+        model_fn_p,
+        engine.unet_params,
         latents,
         jax.random.PRNGKey(6),
         w_time=w_time,
@@ -213,7 +214,8 @@ def test_batched_fixed_variance_mode(engine):
     model_fn_p = engine._model_fn_p(feat=True)
     inv = invert_batched(
         engine.sched,
-        lambda x, t: model_fn_p(engine.unet_params, x, t),
+        model_fn_p,
+        engine.unet_params,
         latents,
         jax.random.PRNGKey(9),
         w_time=w_time,
