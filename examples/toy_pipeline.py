@@ -158,7 +158,8 @@ def main(argv=None):
             compute_dtype="float32",
         ),
         diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=20, feat_layer=1, shape_resolution=48, r1=2),
+        edit=EditConfig(w_time=20, feat_layer=1, shape_resolution=48, r1=2,
+                        feat_store_dtype="float32"),
         fit=FitConfig(points_size=10_000, batch_points=2_000),
         plane_channels=PLANE_CH,
     )

@@ -129,10 +129,13 @@ class EditConfig:
     loss_type: str = "l2"  # "l1" | "l2"
     # Storage dtype of the per-step guidance feature cache
     # ([w_time, 3, s, s, C'] — ~1.7 GB fp32 per shape at full scale; the
-    # reference parks it on host CPU, drag_utils.py:276). "bfloat16" halves
-    # it (doubling per-chip batched-edit capacity); losses always compute
-    # in fp32 regardless.
-    feat_store_dtype: str = "float32"  # "float32" | "bfloat16"
+    # reference parks it on host CPU in the model's compute precision,
+    # drag_utils.py:276). Default bf16: halves the cache (doubling per-chip
+    # batched-edit capacity) and matches the reference's fp16-torso feature
+    # precision; the drag losses always upcast to fp32 before comparing
+    # (edit/drag.py), so only the stored guidance *targets* are quantized.
+    # Toy/CPU-exactness configs pin "float32" explicitly.
+    feat_store_dtype: str = "bfloat16"  # "float32" | "bfloat16"
 
     @property
     def voxel_size(self) -> float:
@@ -224,7 +227,10 @@ def preset(
                 compute_dtype="float32",
             ),
             diffusion=DiffusionConfig(base_steps=100, timestep_respacing="10"),
-            edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=32, r1=2),
+            edit=EditConfig(
+                w_time=6, feat_layer=1, shape_resolution=32, r1=2,
+                feat_store_dtype="float32",
+            ),
             fit=FitConfig(points_size=4000, batch_points=1000, opt_epochs=2),
             plane_channels=2,
         )

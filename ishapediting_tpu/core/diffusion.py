@@ -511,32 +511,33 @@ def sample_partial(
 
 def guided_sample_loop(
     sched: Schedule,
-    model_fn: ModelFn,
     x_T: jnp.ndarray,
     rng: jax.Array,
     *,
-    guidance_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    guidance_fn: Callable[
+        [jnp.ndarray, jnp.ndarray, jax.Array],
+        Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    ],
     t_start: Optional[int] = None,
-    clip_denoised: bool = True,
 ) -> jnp.ndarray:
-    """Classifier-guided sampling: at every step the latent gradient from
-    ``guidance_fn(x_t, t, pred_xstart_closure)`` is applied as
-    ``x_{t-1} = sample + variance * grad`` (reference: drag_utils.py:443-463).
+    """Classifier-guided sampling loop (reference: drag_utils.py:443-463):
+    one ``lax.scan`` applying ``x_{t-1} = sample + variance * grad``.
 
-    ``guidance_fn(x, t, rng) -> grad`` must itself differentiate through the
-    model (see edit/fit.py); this loop only wires the update rule.
+    ``guidance_fn(x, t_batch, step_rng) -> (grad, sample, variance)`` runs
+    one sampling step internally (it must differentiate through the model to
+    produce the latent gradient — see edit/fit.py::fit_guided, the caller)
+    and returns the already-scaled gradient plus that step's stochastic
+    sample and variance. Per-step rng is ``fold_in(rng, t)`` so trajectories
+    are deterministic given ``rng`` and replayable step-by-step.
     """
     t_start = sched.num_timesteps if t_start is None else t_start
 
-    def step(carry, t):
-        x, key = carry
-        key, s_noise, s_guid = jax.random.split(key, 3)
+    def step(x, t):
         tb = jnp.full((x.shape[0],), t, jnp.int32)
-        grad, out = guidance_fn(x, tb, s_guid)
-        noise = jax.random.normal(s_noise, x.shape, jnp.float32)
-        sample = out["mean"] + _nonzero_mask(tb, x.ndim) * jnp.sqrt(out["variance"]) * noise
-        x_next = sample + out["variance"] * grad
-        return (x_next, key), None
+        grad, sample, variance = guidance_fn(x, tb, jax.random.fold_in(rng, t))
+        return sample + variance * grad, None
 
-    (x, _), _ = _scan_steps(step, (x_T.astype(jnp.float32), rng), t_start, 0)
+    x, _ = jax.lax.scan(
+        step, x_T.astype(jnp.float32), jnp.arange(t_start - 1, -1, -1)
+    )
     return x

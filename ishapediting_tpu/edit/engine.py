@@ -140,10 +140,19 @@ class DragEngine:
 
     @classmethod
     def from_model_dir(
-        cls, main_path: str, config: Optional[PipelineConfig] = None, **kw
+        cls,
+        main_path: str,
+        config: Optional[PipelineConfig] = None,
+        allow_identity_stats: bool = False,
+        **kw,
     ) -> "DragEngine":
         """Load a reference-layout category directory
-        (reference: drag_utils.py:213-249)."""
+        (reference: drag_utils.py:213-249).
+
+        A missing ``statistics/`` directory is an error — identity
+        normalization on a real checkpoint decodes garbage meshes, and the
+        reference fails loudly there too (drag_utils.py:236-238). Pass
+        ``allow_identity_stats=True`` to proceed anyway (warns)."""
         from ishapediting_tpu.io.torch_convert import (
             load_torch_checkpoint,
             load_torch_decoder,
@@ -156,7 +165,25 @@ class DragEngine:
             )
         unet_params = load_torch_checkpoint(info.unet_ckpt)
         decoder_params = load_torch_decoder(info.decoder_ckpt)
-        stats = load_stats(info.stats_dir) if info.stats_dir else None
+        if info.stats_dir:
+            stats = load_stats(info.stats_dir)
+        elif allow_identity_stats:
+            import warnings
+
+            warnings.warn(
+                f"no statistics/ under {main_path}: using identity triplane "
+                "normalization — decoded occupancies will be wrong unless the "
+                "checkpoint was trained on unnormalized latents",
+                stacklevel=2,
+            )
+            stats = None
+        else:
+            raise FileNotFoundError(
+                f"no statistics/ directory under {main_path} (expected "
+                "statistics/<name>/{lower_bound,upper_bound}.npy — reference "
+                "drag_utils.py:236-245); pass allow_identity_stats=True to "
+                "load with identity normalization anyway"
+            )
         return cls(
             config=config,
             unet_params=unet_params,

@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from ishapediting_tpu.config import FitConfig
-from ishapediting_tpu.core.diffusion import p_sample_guidance
+from ishapediting_tpu.core.diffusion import guided_sample_loop, p_sample_guidance
 from ishapediting_tpu.core.schedule import Schedule
 from ishapediting_tpu.geometry.mesh import TriMesh
 from ishapediting_tpu.geometry.occupancy import points_occupancy
@@ -103,23 +103,22 @@ def fit_guided(
     ``points``/``occupancies`` with a leading shape axis fits B shapes in one
     program — each shape gets its own BCE term (summed, so the per-shape
     latent gradient is identical to a B=1 run at the same ``scale``), and all
-    B UNet evaluations batch through the model together."""
+    B UNet evaluations batch through the model together. The trajectory runs
+    through ``core.diffusion.guided_sample_loop``; this function contributes
+    the per-step BCE guidance closure."""
     if points.ndim == 2:
         points = points[None]
         occupancies = occupancies[None]
     b = points.shape[0]
-    num_steps = sched.num_timesteps
     p_total = points.shape[1]
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, (b,) + tuple(latent_shape), jnp.float32)
 
-    def body(img, t):
-        step_rng = jax.random.fold_in(rng, t)
+    def guidance(img, tb, step_rng):
         r_noise, r_batch = jax.random.split(step_rng)
         idx = jax.random.randint(r_batch, (b, batch_points), 0, p_total)
         coords = jnp.take_along_axis(points, idx[..., None], axis=1)
         labels = jnp.take_along_axis(occupancies, idx, axis=1)[..., None]
-        tb = jnp.full((b,), t, jnp.int32)
 
         def loss_fn(im):
             out = p_sample_guidance(
@@ -136,11 +135,9 @@ def fit_guided(
         (_, (sample, variance)), grad = jax.value_and_grad(
             loss_fn, has_aux=True
         )(img)
-        return sample + variance * (scale * grad), None
+        return scale * grad, sample, variance
 
-    ts = jnp.arange(num_steps - 1, -1, -1)
-    img, _ = jax.lax.scan(body, x, ts)
-    return img
+    return guided_sample_loop(sched, x, rng, guidance_fn=guidance)
 
 
 def fit_direct(

@@ -199,6 +199,32 @@ def test_inversion_chunk_invariance():
     )
 
 
+def test_guided_sample_loop_update_rule():
+    """guided_sample_loop must apply x_{t-1} = sample + variance * grad with
+    per-step rng fold_in(rng, t) — compared against an explicit Python loop
+    over the same guidance closure (reference rule: drag_utils.py:443-463)."""
+    from ishapediting_tpu.core.diffusion import guided_sample_loop
+
+    sched = make_schedule(1000, "linear", "20")
+    t_start = 7
+    rng = jax.random.PRNGKey(5)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+
+    def guidance(x, tb, step_rng):
+        out = p_sample_guidance(sched, toy_model, x, tb, step_rng)
+        grad = 0.3 * jnp.tanh(x)  # stand-in for a differentiated loss
+        return grad, out["sample"], out["variance"]
+
+    got = guided_sample_loop(sched, x_T, rng, guidance_fn=guidance, t_start=t_start)
+
+    x = x_T.astype(jnp.float32)
+    for t in range(t_start - 1, -1, -1):
+        tb = jnp.full((1,), t, jnp.int32)
+        grad, sample, variance = guidance(x, tb, jax.random.fold_in(rng, t))
+        x = sample + variance * grad
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-6)
+
+
 def test_sample_partial():
     from ishapediting_tpu.core.diffusion import sample_partial
 

@@ -34,7 +34,8 @@ TINY_PIPELINE = PipelineConfig(
         compute_dtype="float32",
     ),
     diffusion=DiffusionConfig(base_steps=100, timestep_respacing="10"),
-    edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=16, r1=1),
+    edit=EditConfig(w_time=6, feat_layer=1, shape_resolution=16, r1=1,
+                    feat_store_dtype="float32"),
     fit=FitConfig(points_size=2000, batch_points=500, opt_epochs=1),
     plane_channels=2,
 )

@@ -110,7 +110,8 @@ def toy_system():
             compute_dtype="float32",
         ),
         diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2),
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+                        feat_store_dtype="float32"),
         fit=FitConfig(points_size=20_000, batch_points=4_000, grad_scale=600.0),
         plane_channels=PLANE_CH,
     )

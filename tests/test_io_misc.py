@@ -60,6 +60,33 @@ def test_convert_model_dir_and_engine_load(tmp_path, rng):
     np.testing.assert_allclose(engine.stats.half_range, np.ones(6), atol=1e-6)
 
 
+def test_missing_stats_is_loud(tmp_path, rng):
+    """A model dir without statistics/ must refuse to load by default (the
+    reference fails loudly too, drag_utils.py:236-245) and warn when forced
+    via allow_identity_stats=True."""
+    import shutil
+    import warnings
+
+    from ishapediting_tpu.edit.engine import DragEngine
+    from tests.test_engine import TINY_PIPELINE
+
+    root, _ = _fake_model_dir(tmp_path, TINY_PIPELINE.unet, rng)
+    shutil.rmtree(os.path.join(root, "statistics"))
+
+    with pytest.raises(FileNotFoundError, match="statistics"):
+        DragEngine.from_model_dir(root, config=TINY_PIPELINE)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        engine = DragEngine.from_model_dir(
+            root, config=TINY_PIPELINE, allow_identity_stats=True
+        )
+    assert any("identity" in str(w.message) for w in caught)
+    np.testing.assert_array_equal(
+        engine.stats.half_range, np.ones(TINY_PIPELINE.unet.in_channels)
+    )
+
+
 def test_cloud2mesh_directory_contract(tmp_path):
     from ishapediting_tpu.geometry.marching import grid_to_mesh
     from ishapediting_tpu.geometry.recon import cloud2mesh

@@ -1,0 +1,250 @@
+"""Build the committed edit-effect regression asset (tests/assets/edit_gate.npz).
+
+Trains toy sphere systems (the examples/toy_pipeline.py recipe) across seeds,
+evaluates replay-mode drag displacement at a FIXED eval seed over a small
+scale sweep, and saves the first instance whose best fixed-scale edit moves
+the +x pole by >= --min_delta while keeping the rest of the shape intact
+(IoU outside the handle/target balls >= --min_iou). The regression test
+(tests/test_edit_gate.py) then reloads this asset and re-runs the SAME
+fixed-seed edit, gating with margin below the recorded numbers.
+
+Background: drag-edit effectiveness on toy instances varies strongly with the
+training run (docs/PERF.md "Instance variance") — committing one known-good
+instance turns "the composed guidance trajectory actually moves the surface"
+into a deterministic CI assertion instead of a sweep-selected demo.
+
+Run on CPU (determinism):  python tools/make_edit_gate_asset.py
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ishapediting_tpu.config import (
+        DiffusionConfig,
+        EditConfig,
+        FitConfig,
+        PipelineConfig,
+        UNetConfig,
+    )
+    from ishapediting_tpu.core.schedule import make_schedule
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.io.model_dir import TriplaneStats
+    from ishapediting_tpu.models.unet import init_unet_params
+    from ishapediting_tpu.train.decoder import train_decoder
+    from ishapediting_tpu.train.loop import train
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    centers = np.stack(
+        [rng.uniform(-0.25, 0.25, n), np.zeros(n), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    radii = rng.uniform(0.3, 0.5, n).astype(np.float32)
+
+    def occupancy(obj_idx, pts):
+        return (
+            np.linalg.norm(pts - centers[obj_idx], axis=1) < radii[obj_idx]
+        ).astype(np.float32)
+
+    def dec_batches():
+        while True:
+            obj = int(rng.integers(0, n))
+            u = rng.uniform(-1, 1, (1024, 3)).astype(np.float32)
+            sdir = rng.standard_normal((1024, 3)).astype(np.float32)
+            sdir /= np.linalg.norm(sdir, axis=1, keepdims=True)
+            s = centers[obj] + sdir * (
+                radii[obj] + rng.normal(0, 0.05, (1024, 1))
+            ).astype(np.float32)
+            pts = np.concatenate([u, s], axis=0)
+            yield obj, pts, occupancy(obj, pts)
+
+    PLANE_RES, PLANE_CH = 16, 8
+    dec_params, bank = train_decoder(
+        dec_batches(),
+        num_objs=n,
+        steps=decoder_steps,
+        resolution=PLANE_RES,
+        channels=PLANE_CH,
+        mapping=16,
+        hidden=64,
+        lr=3e-3,
+        seed=seed,
+        log_every=500,
+    )
+    bank_np = np.asarray(bank)
+    flat = bank_np.transpose(0, 2, 3, 1, 4).reshape(
+        n, PLANE_RES, PLANE_RES, 3 * PLANE_CH
+    )
+    mean = flat.mean(axis=(0, 1, 2))
+    std = flat.std(axis=(0, 1, 2))
+    half_range = np.maximum(2.5 * std, 1e-6).astype(np.float32)
+    middle = mean.astype(np.float32)
+    stats = TriplaneStats(half_range=half_range, middle=middle)
+    latents = np.clip((flat - middle) / half_range, -1, 1)
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(
+            image_size=PLANE_RES,
+            in_channels=3 * PLANE_CH,
+            model_channels=32,
+            out_channels=6 * PLANE_CH,
+            num_res_blocks=1,
+            attention_ds=(4,),
+            channel_mult=(1, 2),
+            num_head_channels=16,
+            dropout=0.0,
+            compute_dtype="float32",
+        ),
+        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+                        feat_store_dtype="float32"),
+        fit=FitConfig(points_size=10_000, batch_points=2_000),
+        plane_channels=PLANE_CH,
+    )
+    train_sched = make_schedule(100, "linear", "")
+
+    def ddpm_batches():
+        while True:
+            yield latents[rng.integers(0, n, 8)]
+
+    state = train(
+        cfg.unet,
+        train_sched,
+        init_unet_params(jax.random.PRNGKey(seed), cfg.unet),
+        ddpm_batches(),
+        total_steps=ddpm_steps,
+        ckpt_dir=None,
+        lr=1e-3,
+        log_every=max(ddpm_steps // 4, 1),
+        ema_rate=0.999,
+    )
+    engine = DragEngine(
+        cfg,
+        unet_params=state.ema_params,
+        decoder_params=dec_params,
+        stats=stats,
+        remat=False,
+    )
+    return engine, latents, state.ema_params, dec_params, half_range, middle
+
+
+def locality_iou(original, edited, handle, target, ball_r=0.25, n_pts=20_000):
+    """Occupancy IoU on points outside the handle/target balls — measures
+    whether the edit stayed local."""
+    from ishapediting_tpu.geometry.occupancy import points_occupancy
+
+    rng = np.random.default_rng(0)
+    pts = (rng.random((n_pts, 3)) * 2 - 1).astype(np.float32)
+    keep = (np.linalg.norm(pts - handle, axis=1) > ball_r) & (
+        np.linalg.norm(pts - target, axis=1) > ball_r
+    )
+    pts = pts[keep]
+    occ_a = points_occupancy(original, pts) > 0.5
+    occ_b = points_occupancy(edited, pts) > 0.5
+    union = (occ_a | occ_b).sum()
+    return float((occ_a & occ_b).sum() / union) if union else 1.0
+
+
+def evaluate(engine, latents, eval_seed=0, scales=(600.0, 1000.0, 1500.0, 2500.0)):
+    import jax.numpy as jnp
+
+    engine.latent_inversion(jnp.asarray(latents[0][None]), seed=eval_seed)
+    original = engine.mesh0
+    ox = original.vertices[:, 0]
+    handle = original.vertices[np.argmax(ox)].astype(np.float32)
+    target = handle + np.array([0.25, 0, 0], np.float32)
+
+    best = None  # (delta, scale, iou)
+    for scale in scales:
+        m = engine.drag_edit(
+            handle[None], target[None], scale=scale, cof=1.0,
+            seed=eval_seed, chunk=4, noise_mode="replay",
+        )
+        if len(m.vertices) == 0:
+            print(f"  scale {scale:6.0f}: empty mesh")
+            continue
+        delta = float(m.vertices[:, 0].max() - ox.max())
+        loc = locality_iou(original, m, handle, target)
+        print(f"  scale {scale:6.0f}: delta {delta:+.3f}, locality IoU {loc:.3f}")
+        if best is None or delta > best[0]:
+            best = (delta, scale, loc)
+    return best, handle, target
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4, 5])
+    p.add_argument("--ddpm_steps", type=int, default=8000)
+    p.add_argument("--decoder_steps", type=int, default=600)
+    p.add_argument("--min_delta", type=float, default=0.15)
+    p.add_argument("--min_iou", type=float, default=0.75)
+    p.add_argument(
+        "--out",
+        type=str,
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "assets", "edit_gate.npz",
+        ),
+    )
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    for seed in args.seeds:
+        print(f"=== training toy instance seed={seed} ===", flush=True)
+        engine, latents, ema, dec, half_range, middle = build_toy_system(
+            seed, args.ddpm_steps, args.decoder_steps
+        )
+        best, handle, target = evaluate(engine, latents)
+        if best is None:
+            continue
+        delta, scale, loc = best
+        print(f"seed {seed}: best delta {delta:+.3f} @ scale {scale}, IoU {loc:.3f}")
+        if delta >= args.min_delta and loc >= args.min_iou:
+            flat = {}
+            for prefix, leaves in ema.items():
+                for leaf, arr in leaves.items():
+                    flat[f"ema::{prefix}::{leaf}"] = np.asarray(arr)
+
+            def flat_tree(tree, out, base):
+                for k, v in tree.items():
+                    key = f"{base}::{k}"
+                    if isinstance(v, dict):
+                        flat_tree(v, out, key)
+                    else:
+                        out[key] = np.asarray(v)
+
+            flat_tree(dec, flat, "dec")
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            np.savez_compressed(
+                args.out,
+                latent0=latents[0],
+                half_range=half_range,
+                middle=middle,
+                train_seed=np.int64(seed),
+                eval_seed=np.int64(0),
+                scale=np.float32(scale),
+                achieved_delta=np.float32(delta),
+                achieved_iou=np.float32(loc),
+                **flat,
+            )
+            print(f"saved {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB)")
+            return 0
+    print("NO instance met the gate thresholds", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
