@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_npz", action="store_true",
                    help="also save one samples_NxHxWxC.npz batch file "
                         "(image_sample.py main() contract)")
+    p.add_argument("--save_intermediate", type=str, default=None,
+                   help="comma-separated loop indices at which to dump "
+                        "per-step latent snapshots (reference "
+                        "save_intermediate, image_sample.py:70-102), e.g. "
+                        "'0,100,199'; writes <save_dir>/intermediate_tensors/"
+                        "<obj>_it<idx>.npy (NCHW, physical scale)")
     return p
 
 
@@ -78,26 +84,62 @@ def main(argv=None):
     mesh = make_mesh(usable)
     model_fn_p = engine._model_fn_p(feat=False)
 
+    snapshot_steps = None
+    if args.save_intermediate:
+        snapshot_steps = tuple(
+            int(s) for s in args.save_intermediate.split(",") if s != ""
+        )
+
     t1 = time.time()
     samples = []
+    snapshots = []  # per batch: [K, n, H, W, C]
     remaining = args.num_samples
     batch_idx = 0
     while remaining > 0:
         n = min(args.batch_size, remaining) if remaining >= usable else remaining
         n = max(n - n % usable, usable) if n >= usable else n
         m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
-        out = sample_sharded(
-            engine.sched,
-            None,
-            m,
-            batch_size=n,
-            latent_shape=config.latent_shape,
-            rng=jax.random.PRNGKey(args.seed + batch_idx),
-            use_ddim=args.use_ddim,
-            clip_denoised=config.diffusion.clip_denoised,
-            model_fn_p=model_fn_p,
-            params=engine.unet_params,
-        )
+        if snapshot_steps is not None:
+            # snapshot path: single-device jitted loop with the scan-carried
+            # [K, B, ...] snapshot buffer (core/diffusion.py)
+            from functools import partial as _partial
+
+            from ishapediting_tpu.core.diffusion import p_sample_loop_snapshots
+
+            fn = jax.jit(
+                lambda params, x, r: p_sample_loop_snapshots(
+                    engine.sched,
+                    _partial(model_fn_p, params),
+                    x,
+                    r,
+                    snapshot_steps=snapshot_steps,
+                    use_ddim=args.use_ddim,
+                    clip_denoised=config.diffusion.clip_denoised,
+                )
+            )
+            x_T = jax.random.normal(
+                jax.random.PRNGKey(args.seed + 1000 + batch_idx),
+                (n,) + config.latent_shape,
+                jnp.float32,
+            )
+            out_d = fn(
+                engine.unet_params, x_T, jax.random.PRNGKey(args.seed + batch_idx)
+            )
+            out = out_d["sample"]
+            snapshots.append(np.asarray(out_d["snapshots"]))
+        else:
+            out = sample_sharded(
+                engine.sched,
+                None,
+                m,
+                batch_size=n,
+                latent_shape=config.latent_shape,
+                rng=jax.random.PRNGKey(args.seed + batch_idx),
+                use_ddim=args.use_ddim,
+                clip_denoised=config.diffusion.clip_denoised,
+                model_fn_p=model_fn_p,
+                params=engine.unet_params,
+            )
         samples.append(np.asarray(out))
         remaining -= n
         batch_idx += 1
@@ -118,6 +160,24 @@ def main(argv=None):
             phys[idx].transpose(2, 0, 1).astype(np.float32),
         )
         print(f"saving to {args.save_dir}/triplanes/{idx}.npy...")
+
+    if snapshot_steps is not None and snapshots:
+        # reference contract: intermediate_tensors/<obj>_it<idx>.npy, NCHW,
+        # physical scale (image_sample.py:94-102 + unnormalize)
+        os.makedirs(f"{args.save_dir}/intermediate_tensors", exist_ok=True)
+        snaps = np.concatenate(snapshots, axis=1)[:, : args.num_samples]
+        snaps = snaps * engine.stats.half_range + engine.stats.middle
+        for k, step_idx in enumerate(snapshot_steps):
+            for obj in range(snaps.shape[1]):
+                np.save(
+                    f"{args.save_dir}/intermediate_tensors/"
+                    f"{obj}_it{step_idx}.npy",
+                    snaps[k, obj].transpose(2, 0, 1).astype(np.float32),
+                )
+        print(
+            f"saved {len(snapshot_steps)}x{snaps.shape[1]} intermediate "
+            "tensors"
+        )
 
     if not args.skip_decode:
         os.makedirs(f"{args.save_dir}/objects", exist_ok=True)

@@ -509,6 +509,55 @@ def sample_partial(
     return result
 
 
+def p_sample_loop_snapshots(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    snapshot_steps: Tuple[int, ...],
+    use_ddim: bool = False,
+    clip_denoised: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full sampling trajectory that also records x at chosen loop indices —
+    the reference's ``save_intermediate`` tensor-dump debugging aid
+    (reference: gaussian_diffusion.py:545-601, image_sample.py:70-102).
+
+    ``snapshot_steps`` are LOOP indices (0 = the first denoising step from
+    pure noise, matching the reference's ``idx``), static. Rather than
+    stacking the whole trajectory (T x B x latent — GBs at 256 steps), the
+    scan carries a [K, B, ...] buffer and writes slot k when the loop index
+    crosses ``snapshot_steps[k]``; the snapshot taken is the *post-step*
+    sample, like the reference's ``final["sample"]``.
+
+    Returns dict(sample, snapshots [K, B, ...]).
+    """
+    snapshot_steps = tuple(int(s) for s in snapshot_steps)
+    num = sched.num_timesteps
+    assert all(0 <= s < num for s in snapshot_steps), (snapshot_steps, num)
+    snap_idx = jnp.asarray(snapshot_steps, jnp.int32)
+    buf = jnp.zeros((len(snapshot_steps),) + x_T.shape, jnp.float32)
+
+    def step(carry, t):
+        x, key, buf = carry
+        key, sub = jax.random.split(key)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        if use_ddim:
+            out = ddim_sample(sched, model_fn, x, tb, sub, clip_denoised=clip_denoised)
+        else:
+            out = p_sample(sched, model_fn, x, tb, sub, clip_denoised=clip_denoised)
+        x = out["sample"]
+        loop_idx = num - 1 - t
+        mask = (snap_idx == loop_idx).reshape((-1,) + (1,) * x.ndim)
+        buf = jnp.where(mask, x[None], buf)
+        return (x, key, buf), None
+
+    (x, _, buf), _ = _scan_steps(
+        step, (x_T.astype(jnp.float32), rng, buf), num, 0
+    )
+    return {"sample": x, "snapshots": buf}
+
+
 def guided_sample_loop(
     sched: Schedule,
     x_T: jnp.ndarray,

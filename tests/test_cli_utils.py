@@ -87,6 +87,60 @@ def test_generate_cli_smoke(tmp_path):
     assert os.path.exists(tmp_path / "objects" / "0.obj")
 
 
+def test_generate_cli_save_intermediate(tmp_path):
+    """Per-step snapshot hooks (reference save_intermediate,
+    image_sample.py:70-102): dumps <obj>_it<idx>.npy at the requested loop
+    indices, in NCHW physical scale; the last-index snapshot must equal the
+    final saved triplane."""
+    import ishapediting_tpu.cli.generate as gen
+
+    gen.main([
+        "--random_init", "--preset", "tiny",
+        "--num_samples", "2", "--batch_size", "2",
+        "--num_steps", "5", "--skip_decode",
+        "--save_intermediate", "0,2,4",
+        "--save_dir", str(tmp_path),
+    ])
+    for obj in (0, 1):
+        for idx in (0, 2, 4):
+            path = tmp_path / "intermediate_tensors" / f"{obj}_it{idx}.npy"
+            assert path.exists(), path
+    last = np.load(tmp_path / "intermediate_tensors" / "0_it4.npy")
+    final = np.load(tmp_path / "triplanes" / "0.npy")
+    assert last.shape == final.shape  # NCHW
+    np.testing.assert_allclose(last, final, atol=1e-5)
+
+
+def test_snapshot_loop_matches_plain_loop():
+    """p_sample_loop_snapshots must produce the same final sample as
+    p_sample_loop under the same rng, and its snapshot buffer must hold the
+    post-step samples at the requested loop indices."""
+    import jax
+    from ishapediting_tpu.core.diffusion import (
+        p_sample_loop,
+        p_sample_loop_snapshots,
+    )
+    from ishapediting_tpu.core.schedule import make_schedule
+    from tests.test_diffusion import SHAPE, toy_model
+
+    sched = make_schedule(1000, "linear", "10")
+    x_T = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+    rng = jax.random.PRNGKey(1)
+    plain = p_sample_loop(sched, toy_model, x_T, rng)
+    out = p_sample_loop_snapshots(
+        sched, toy_model, x_T, rng, snapshot_steps=(0, 4, 9)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["sample"]), np.asarray(plain), atol=1e-6
+    )
+    # last loop index (9 of 10 steps) is the final sample
+    np.testing.assert_allclose(
+        np.asarray(out["snapshots"][2]), np.asarray(plain), atol=1e-6
+    )
+    # snapshots are distinct along the trajectory
+    assert np.abs(np.asarray(out["snapshots"][0] - out["snapshots"][2])).max() > 0
+
+
 def test_distributed_mean_kvs_single_process():
     from ishapediting_tpu.utils.logger import distributed_mean_kvs
 

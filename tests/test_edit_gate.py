@@ -1,0 +1,117 @@
+"""Fixed-seed edit-effect regression gate.
+
+Loads the committed known-good toy instance (tests/assets/edit_gate.npz,
+built by tools/make_edit_gate_asset.py) and re-runs the SAME fixed-seed
+replay-mode drag the asset was validated with. Asserts the drag actually
+moves the +x pole by a minimum displacement AND stays local (occupancy IoU
+outside the handle/target balls). This turns guidance effectiveness — the
+composed trajectory, not just the loss math covered by
+test_reference_parity.py::test_drag_losses_parity — into a deterministic CI
+assertion; a regression that halves the guidance effect fails here
+(reference behavior: drag_utils.py:302-399).
+
+Thresholds sit well below the recorded achieved values to absorb cross-XLA
+floating-point drift while still catching any real effectiveness loss.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+ASSET = os.path.join(os.path.dirname(__file__), "assets", "edit_gate.npz")
+
+pytestmark = pytest.mark.slow
+
+
+def _unflatten(npz, base):
+    out = {}
+    for key in npz.files:
+        if not key.startswith(base + "::"):
+            continue
+        node = out
+        parts = key.split("::")[1:]
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(npz[key])
+    return out
+
+
+@pytest.fixture(scope="module")
+def gate_engine():
+    if not os.path.exists(ASSET):
+        pytest.skip("edit_gate.npz asset not built")
+    from ishapediting_tpu.config import (
+        DiffusionConfig,
+        EditConfig,
+        FitConfig,
+        PipelineConfig,
+        UNetConfig,
+    )
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.io.model_dir import TriplaneStats
+
+    npz = np.load(ASSET)
+    PLANE_RES, PLANE_CH = 16, 8
+    cfg = PipelineConfig(
+        unet=UNetConfig(
+            image_size=PLANE_RES,
+            in_channels=3 * PLANE_CH,
+            model_channels=32,
+            out_channels=6 * PLANE_CH,
+            num_res_blocks=1,
+            attention_ds=(4,),
+            channel_mult=(1, 2),
+            num_head_channels=16,
+            dropout=0.0,
+            compute_dtype="float32",
+        ),
+        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+                        feat_store_dtype="float32"),
+        fit=FitConfig(points_size=10_000, batch_points=2_000),
+        plane_channels=PLANE_CH,
+    )
+    engine = DragEngine(
+        cfg,
+        unet_params=_unflatten(npz, "ema"),
+        decoder_params=_unflatten(npz, "dec"),
+        stats=TriplaneStats(
+            half_range=npz["half_range"], middle=npz["middle"]
+        ),
+        remat=False,
+    )
+    return engine, npz
+
+
+def test_fixed_seed_drag_displacement_and_locality(gate_engine):
+    from tools.make_edit_gate_asset import locality_iou
+
+    engine, npz = gate_engine
+    eval_seed = int(npz["eval_seed"])
+    scale = float(npz["scale"])
+    achieved = float(npz["achieved_delta"])
+
+    engine.latent_inversion(jnp.asarray(npz["latent0"][None]), seed=eval_seed)
+    original = engine.mesh0
+    ox = original.vertices[:, 0]
+    handle = original.vertices[np.argmax(ox)].astype(np.float32)
+    target = handle + np.array([0.25, 0, 0], np.float32)
+
+    edited = engine.drag_edit(
+        handle[None], target[None], scale=scale, cof=1.0,
+        seed=eval_seed, chunk=4, noise_mode="replay",
+    )
+    assert len(edited.vertices) > 0, "edit produced an empty mesh"
+    delta = float(edited.vertices[:, 0].max() - ox.max())
+    loc = locality_iou(original, edited, handle, target)
+
+    # gate at 60% of the recorded displacement (cross-XLA fp drift margin);
+    # a regression that halves effectiveness still fails
+    assert delta >= 0.6 * achieved, (
+        f"drag displacement regressed: {delta:+.3f} vs recorded "
+        f"{achieved:+.3f} (gate {0.6 * achieved:+.3f})"
+    )
+    assert loc >= 0.70, f"edit not local: IoU outside handle region {loc:.3f}"
