@@ -1,10 +1,30 @@
 """Benchmark harness — prints ONE JSON line.
 
-Metric: unconditional triplane sampling throughput at DDIM-50 on the
-published NFD UNet (128^2 latent, 96ch, 256 base channels, learned sigma),
-batch 8, bf16 torso — the BASELINE.md north-star configuration
+Headline metric: unconditional triplane sampling throughput at DDIM-50 on
+the published NFD UNet (128^2 latent, 96ch, 256 base channels, learned
+sigma), batch 8, bf16 torso — the BASELINE.md north-star configuration
 (reference path: generate.py:52-71 + image_sample.py:168-184, respaced to
 DDIM-50).
+
+The JSON ``detail`` additionally carries every other BASELINE.md measurable
+quantity, measured through the REAL engine product paths at full scale
+(``ISHAPE_BENCH_FAST=1`` skips them for quick sampling-only iteration):
+
+- ``edit_wall_s``      — 170-step guided drag (UNet fwd+bwd each step) incl.
+                         256^3 decode + marching + smoothing
+                         (reference: drag_utils.py:336-399)
+- ``inversion_wall_s`` — 170-step edit-friendly DDPM inversion incl. mesh
+                         decode (reference: gaussian_diffusion.py:512-532)
+- ``fit_wall_s``       — 200-step classifier-guided real-shape fit + the
+                         follow-up inversion (reference: drag_utils.py:445-463)
+- ``phase_tflops``     — per-phase effective TF/s against the 141 TF/s
+                         measured matmul ceiling (docs/PERF.md)
+
+Random weights (no assets in this environment) time identically to trained
+ones for every device path; to keep the HOST decode path honest too (random
+decoders produce noise fields that marching would explode on), the decoder's
+output bias is shifted so ~1.5%% of voxels are positive — a compact blobby
+surface with a realistic active-cell count.
 
 ``vs_baseline``: ratio to an estimated A100 PyTorch-fp16 eager reference.
 The reference repo publishes no numbers (BASELINE.md), so the estimate is
@@ -94,6 +114,138 @@ def _resolved_conv_impl() -> str:
     return f"{choice}({_conv_impl()})" if choice == "auto" else choice
 
 
+def _fetch_scalar(x):
+    # block_until_ready does not block on the tunnel backend; a scalar fetch
+    # drains the in-order device stream (docs/PERF.md)
+    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+
+def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0):
+    """Time the real engine edit/inversion/fit paths at full scale.
+
+    Returns a dict of wall-clocks + a per-phase effective-TF/s table vs the
+    measured matmul ceiling. Random weights time identically to trained ones
+    on every device path; the decoder bias is shifted post-init so the host
+    decode path (fetch + marching + smoothing) sees a realistic surface.
+    """
+    import tempfile
+    import dataclasses
+
+    from ishapediting_tpu.config import PipelineConfig
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.ops.triplane import decode_grid
+    from ishapediting_tpu.edit.fit import latent_to_planes
+
+    cfg = PipelineConfig()  # 200-step respacing, w_time=170, 256^3 decode
+    engine = DragEngine(cfg, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(1), (1,) + cfg.latent_shape, jnp.float32
+    )
+
+    # --- decode: device-only timing, then calibrate the surface ----------
+    planes = latent_to_planes(latent, engine.half_range, engine.middle)
+    dec_fn = jax.jit(
+        lambda d, p: decode_grid(d, p, res=cfg.edit.shape_resolution,
+                                 out_dtype=jnp.float16)
+    )
+    g = dec_fn(engine.decoder_params, planes)
+    _fetch_scalar(g[:1])
+    t0 = time.perf_counter()
+    g = dec_fn(engine.decoder_params, planes)
+    _fetch_scalar(g[:1, :1, :1])
+    decode_device_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    grid = np.asarray(g).astype(np.float32)
+    fetch_s = time.perf_counter() - t0
+    # shift the decoder output bias so ~1.5% of voxels are inside — a
+    # compact surface with a realistic marching load
+    q = float(np.quantile(grid, 0.985))
+    engine.decoder_params = dict(engine.decoder_params)
+    engine.decoder_params["dense3"] = {
+        "w": engine.decoder_params["dense3"]["w"],
+        "b": engine.decoder_params["dense3"]["b"] - q,
+    }
+
+    # --- inversion (incl. mesh decode), cold + warm ----------------------
+    t0 = time.perf_counter()
+    engine.latent_inversion(latent, seed=2)
+    inversion_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.latent_inversion(latent, seed=3)
+    inversion_wall = time.perf_counter() - t0
+    mesh0 = engine.mesh0
+    n_verts = len(mesh0.vertices)
+
+    # --- drag edit: 170 guided fwd+bwd steps (incl. mesh decode) ---------
+    if n_verts:
+        handle = mesh0.vertices[np.argmax(mesh0.vertices[:, 0])].astype(
+            np.float32
+        )
+    else:  # pragma: no cover - calibration guarantees a surface
+        handle = np.array([0.3, 0.0, 0.0], np.float32)
+    target = handle + np.array([0.15, 0.0, 0.0], np.float32)
+    t0 = time.perf_counter()
+    engine.drag_edit(handle[None], target[None], seed=4, noise_mode="replay")
+    edit_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.drag_edit(handle[None], target[None], seed=5, noise_mode="replay")
+    edit_wall = time.perf_counter() - t0
+
+    # --- mesh-only wall (shared tail of both paths above) ----------------
+    t0 = time.perf_counter()
+    engine.get_mesh(latent)
+    mesh_wall = time.perf_counter() - t0
+
+    # --- real-shape fit: 200 guided steps + follow-up inversion ----------
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=6)
+        fit_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=7)
+        fit_wall = time.perf_counter() - t0
+
+    # --- per-phase effective TF/s vs the matmul ceiling ------------------
+    # drag/fit steps run fwd+bwd through the UNet (~3x fwd FLOPs); the
+    # inversion backward is 170 independent forwards; device time excludes
+    # the shared mesh tail. fit also re-runs the 170-step inversion.
+    n_steps = engine.sched.num_timesteps  # 200
+    w_time = cfg.edit.w_time  # 170
+    drag_dev = max(edit_wall - mesh_wall, 1e-6)
+    inv_dev = max(inversion_wall - mesh_wall, 1e-6)
+    fit_dev = max(fit_wall - inversion_wall, 1e-6)
+    phase_tflops = {
+        "ceiling_measured_matmul": ceiling_tflops,
+        "drag_step": round(3.0 * flops_fwd * w_time / drag_dev / 1e12, 1),
+        "inversion": round(flops_fwd * w_time / inv_dev / 1e12, 1),
+        "fit_step": round(3.0 * flops_fwd * n_steps / fit_dev / 1e12, 1),
+        "decode_grid": round(_decode_flops(cfg) / decode_device_s / 1e12, 1),
+    }
+    return {
+        "edit_wall_s": round(edit_wall, 2),
+        "edit_wall_cold_s": round(edit_cold, 2),
+        "inversion_wall_s": round(inversion_wall, 2),
+        "inversion_wall_cold_s": round(inversion_cold, 2),
+        "fit_wall_s": round(fit_wall, 2),
+        "fit_wall_cold_s": round(fit_cold, 2),
+        "mesh_decode_wall_s": round(mesh_wall, 2),
+        "decode_device_s": round(decode_device_s, 3),
+        "grid_fetch_s": round(fetch_s, 2),
+        "mesh_verts": int(n_verts),
+        "phase_tflops": phase_tflops,
+    }
+
+
+def _decode_flops(cfg) -> float:
+    """MLP-head FLOPs of one dense 256^3 decode (ops/triplane.py: the
+    per-voxel cost is sin/cos + 128-128-1 MLP; plane resize + Fourier
+    projection are per-pixel, negligible)."""
+    res = cfg.edit.shape_resolution
+    mapping, hidden = 64, 128
+    per_voxel = 2.0 * (2 * mapping) * hidden + 2.0 * hidden * hidden + 2.0 * hidden
+    return per_voxel * res**3
+
+
 def main():
     # Persistent compile cache — but NOT on the axon tunnel runtime, where
     # cache serialization of the large programs is measured ACTIVELY harmful
@@ -164,6 +316,12 @@ def main():
     flops_fwd = unet_flops_per_sample(cfg)
     chip_tflops_eff = flops_fwd * DDIM_STEPS * BATCH / best / 1e12
 
+    # BASELINE.md's other measurable quantities, through the real engine
+    # paths (ISHAPE_BENCH_FAST=1 skips for quick sampling-only iteration)
+    product = {}
+    if not os.environ.get("ISHAPE_BENCH_FAST"):
+        product = bench_product_paths(flops_fwd)
+
     # A100 eager-PyTorch fp16 estimate (see module docstring for derivation)
     a100_peak = 312e12
     mfu_band = (0.20, 0.35)  # [SD-anchored eager, optimistic conv-only]
@@ -199,6 +357,7 @@ def main():
                     "vs_baseline_35mfu": round(
                         samples_per_sec / a100_optimistic, 3
                     ),
+                    **product,
                     "device": str(jax.devices()[0]),
                 },
             }

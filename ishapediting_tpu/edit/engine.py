@@ -294,18 +294,34 @@ class DragEngine:
     # ------------------------------------------------------------------
 
     def decode_latent_grid(self, latent: jnp.ndarray) -> np.ndarray:
-        """Normalized latent -> dense occupancy logits [res,res,res]."""
+        """Normalized latent -> dense occupancy logits [res,res,res].
+
+        The fp16 grid (33 MB at 256^3) is fetched host-side; on the tunneled
+        backend a single transfer runs ~28 MB/s, so when
+        ``ISHAPE_FETCH_SLABS`` > 1 the fetch is split into that many row
+        slabs pulled by concurrent threads (identical bytes; the tunnel
+        multiplexes streams — measured in tools/probe_fetch.py)."""
         res = self.config.edit.shape_resolution
         planes = latent_to_planes(
             jnp.asarray(latent, jnp.float32).reshape((1,) + self.config.latent_shape),
             self.half_range,
             self.middle,
         )
-        return np.asarray(
-            decode_grid(
-                self.decoder_params, planes, res=res, out_dtype=jnp.float16
-            )
-        ).astype(np.float32)
+        grid = decode_grid(
+            self.decoder_params, planes, res=res, out_dtype=jnp.float16
+        )
+        k = int(os.environ.get("ISHAPE_FETCH_SLABS", "1"))
+        if k > 1 and res % k == 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            step = res // k
+            slabs = [grid[i * step : (i + 1) * step] for i in range(k)]
+            with ThreadPoolExecutor(k) as ex:
+                parts = list(ex.map(np.asarray, slabs))
+            host = np.concatenate(parts, axis=0)
+        else:
+            host = np.asarray(grid)
+        return host.astype(np.float32)
 
     def get_mesh(
         self, latent: Optional[jnp.ndarray] = None, t: int = 0, smooth: int = 10
