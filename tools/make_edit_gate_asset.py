@@ -17,7 +17,6 @@ Run on CPU (determinism):  python tools/make_edit_gate_asset.py
 """
 
 import argparse
-import dataclasses
 import os
 import sys
 

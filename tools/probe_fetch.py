@@ -1,12 +1,12 @@
 """Measure host<-device fetch strategies for the 256^3 occupancy grid.
 
-The tunnel fetches ~28 MB/s single-stream (docs/PERF.md "Harness quirk");
-this probe checks whether K concurrent slab fetches multiplex to higher
-aggregate throughput — if yes, the engine's get_mesh should fetch the grid
-in parallel slabs instead of one np.asarray.
+The tunnel fetches ~10-30 MB/s single-stream (docs/PERF.md "Harness
+quirk"); this probe checks whether K concurrent slab fetches multiplex to
+higher aggregate throughput. Every measurement uses FRESH device arrays —
+np.asarray of an already-fetched jax Array returns its cached host copy and
+times as zero.
 
-Run alone (tunnel congestion skews everything):
-    PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_fetch.py
+Run alone: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_fetch.py
 """
 
 import time
@@ -17,9 +17,46 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+RES = 256
+NBYTES_MB = RES * RES * RES * 2 / 1e6
+
 
 def fetch_scalar(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+
+_gen = jax.jit(
+    lambda k: jax.random.normal(k, (RES, RES, RES), jnp.float32).astype(jnp.float16)
+)
+
+
+def fresh_grid(i):
+    g = _gen(jax.random.PRNGKey(i))
+    fetch_scalar(g[:1, :1, :1])  # materialize without caching the full host copy
+    return g
+
+
+def time_full(i):
+    g = fresh_grid(i)
+    t0 = time.time()
+    np.asarray(g)
+    return time.time() - t0
+
+
+def time_slabs(i, k, parallel):
+    g = fresh_grid(i)
+    step = RES // k
+    slabs = [g[j * step : (j + 1) * step] for j in range(k)]
+    for s in slabs:
+        fetch_scalar(s[:1, :1, :1])  # run the slice programs
+    t0 = time.time()
+    if parallel:
+        with ThreadPoolExecutor(k) as ex:
+            list(ex.map(np.asarray, slabs))
+    else:
+        for s in slabs:
+            np.asarray(s)
+    return time.time() - t0
 
 
 def main():
@@ -27,53 +64,27 @@ def main():
     fetch_scalar(jax.jit(lambda x: x + 1)(jnp.zeros(8)))
     print(f"session warmup: {time.time() - t0:.1f}s", flush=True)
 
-    res = 256
-    grid = jax.jit(
-        lambda k: jax.random.normal(k, (res, res, res), jnp.float32).astype(
-            jnp.float16
-        )
-    )(jax.random.PRNGKey(0))
-    fetch_scalar(grid)  # materialize
-    nbytes = res * res * res * 2 / 1e6
-    print(f"grid ready: {nbytes:.0f} MB fp16", flush=True)
-
-    # 1. single full fetch
-    for rep in range(2):
-        t0 = time.time()
-        host = np.asarray(grid)
-        dt = time.time() - t0
-        print(f"full fetch #{rep}: {dt:.2f}s ({nbytes/dt:.1f} MB/s)", flush=True)
-        del host
-
-    # 2. pre-sliced device arrays (slice once, fetch K ways)
+    # interleave strategies across 3 rounds so congestion drift hits all
+    strategies = [("full", lambda i: time_full(i))]
     for k in (2, 4, 8):
-        step = res // k
-        slabs = [grid[i * step : (i + 1) * step] for i in range(k)]
-        for s in slabs:
-            fetch_scalar(s[:1])  # force the slice programs to run
-        # sequential slab fetches
-        t0 = time.time()
-        parts = [np.asarray(s) for s in slabs]
-        dt_seq = time.time() - t0
-        # parallel slab fetches
-        t0 = time.time()
-        with ThreadPoolExecutor(k) as ex:
-            parts = list(ex.map(np.asarray, slabs))
-        dt_par = time.time() - t0
-        ok = np.concatenate(parts, axis=0).shape == (res, res, res)
-        print(
-            f"k={k}: sequential {dt_seq:.2f}s, parallel {dt_par:.2f}s "
-            f"({nbytes/dt_par:.1f} MB/s) ok={ok}",
-            flush=True,
-        )
+        strategies.append((f"seq{k}", lambda i, _k=k: time_slabs(i, _k, False)))
+        strategies.append((f"par{k}", lambda i, _k=k: time_slabs(i, _k, True)))
 
-    # 3. smaller payloads: int8-scaled fetch (diagnostic only)
-    g8 = jax.jit(lambda g: jnp.clip(g.astype(jnp.float32) * 42.0, -127, 127).astype(jnp.int8))(grid)
-    fetch_scalar(g8[:1])
-    t0 = time.time()
-    _ = np.asarray(g8)
-    dt = time.time() - t0
-    print(f"int8 full fetch: {dt:.2f}s ({nbytes/2/dt:.1f} MB/s)", flush=True)
+    results = {name: [] for name, _ in strategies}
+    i = 0
+    for rnd in range(3):
+        for name, fn in strategies:
+            dt = fn(i)
+            i += 1
+            results[name].append(dt)
+            print(
+                f"round {rnd} {name}: {dt:.2f}s ({NBYTES_MB/dt:.1f} MB/s)",
+                flush=True,
+            )
+    print("--- best of 3 ---")
+    for name in results:
+        best = min(results[name])
+        print(f"{name}: {best:.2f}s ({NBYTES_MB/best:.1f} MB/s)")
 
 
 if __name__ == "__main__":
