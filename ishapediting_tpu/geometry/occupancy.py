@@ -57,17 +57,19 @@ def _numpy_occupancy(mesh: TriMesh, points: np.ndarray) -> np.ndarray:
     tri_lo = cell_of(np.minimum(np.minimum(a[:, :2], b[:, :2]), c[:, :2]))
     tri_hi = cell_of(np.maximum(np.maximum(a[:, :2], b[:, :2]), c[:, :2]))
 
-    # triangle -> cells map (triangles can span several cells)
-    spans = (tri_hi[:, 0] - tri_lo[:, 0] + 1) * (tri_hi[:, 1] - tri_lo[:, 1] + 1)
+    # triangle -> cells map, fully vectorized (a triangle spanning the cell
+    # rect [x0..x1]x[y0..y1] contributes one entry per covered cell): the
+    # ragged per-triangle rectangles are flattened with a local-index trick
+    # — l = global_pos - block_start gives each entry its (dx, dy) offset.
+    spans_x = tri_hi[:, 0] - tri_lo[:, 0] + 1
+    spans_y = tri_hi[:, 1] - tri_lo[:, 1] + 1
+    spans = spans_x * spans_y
     tri_ids = np.repeat(np.arange(len(tris)), spans)
-    cell_ids = np.empty(spans.sum(), np.int64)
-    pos = 0
-    for ti in range(len(tris)):  # triangles usually span 1-2 cells; cheap loop
-        (x0, y0), (x1, y1) = tri_lo[ti], tri_hi[ti]
-        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
-        n = xs.size
-        cell_ids[pos : pos + n] = xs.reshape(-1) * n_cells + ys.reshape(-1)
-        pos += n
+    block_start = np.concatenate([[0], np.cumsum(spans)[:-1]])
+    local = np.arange(spans.sum()) - np.repeat(block_start, spans)
+    dx = local // spans_y[tri_ids]
+    dy = local % spans_y[tri_ids]
+    cell_ids = (tri_lo[tri_ids, 0] + dx) * n_cells + (tri_lo[tri_ids, 1] + dy)
     order = np.argsort(cell_ids, kind="stable")
     cell_ids = cell_ids[order]
     tri_ids = tri_ids[order]

@@ -154,30 +154,44 @@ def locality_iou(original, edited, handle, target, ball_r=0.25, n_pts=20_000):
     return float((occ_a & occ_b).sum() / union) if union else 1.0
 
 
-def evaluate(engine, latents, eval_seed=0, scales=(600.0, 1000.0, 1500.0, 2500.0)):
+def evaluate(
+    engine,
+    latents,
+    eval_seeds=(0, 1, 2),
+    scales=(300.0, 450.0, 600.0, 800.0, 1000.0, 1400.0),
+    min_iou=0.75,
+):
+    """Sweep inversion seed x scale (replay mode draws no fresh noise, so
+    the inversion seed is the only stochastic knob); return the best
+    (delta, scale, iou, eval_seed) whose edit stays local."""
     import jax.numpy as jnp
 
-    engine.latent_inversion(jnp.asarray(latents[0][None]), seed=eval_seed)
-    original = engine.mesh0
-    ox = original.vertices[:, 0]
-    handle = original.vertices[np.argmax(ox)].astype(np.float32)
-    target = handle + np.array([0.25, 0, 0], np.float32)
-
-    best = None  # (delta, scale, iou)
-    for scale in scales:
-        m = engine.drag_edit(
-            handle[None], target[None], scale=scale, cof=1.0,
-            seed=eval_seed, chunk=4, noise_mode="replay",
-        )
-        if len(m.vertices) == 0:
-            print(f"  scale {scale:6.0f}: empty mesh")
+    best = None
+    for eval_seed in eval_seeds:
+        engine.latent_inversion(jnp.asarray(latents[0][None]), seed=eval_seed)
+        original = engine.mesh0
+        if len(original.vertices) == 0:
             continue
-        delta = float(m.vertices[:, 0].max() - ox.max())
-        loc = locality_iou(original, m, handle, target)
-        print(f"  scale {scale:6.0f}: delta {delta:+.3f}, locality IoU {loc:.3f}")
-        if best is None or delta > best[0]:
-            best = (delta, scale, loc)
-    return best, handle, target
+        ox = original.vertices[:, 0]
+        handle = original.vertices[np.argmax(ox)].astype(np.float32)
+        target = handle + np.array([0.25, 0, 0], np.float32)
+        for scale in scales:
+            m = engine.drag_edit(
+                handle[None], target[None], scale=scale, cof=1.0,
+                seed=eval_seed, chunk=4, noise_mode="replay",
+            )
+            if len(m.vertices) == 0:
+                print(f"  inv_seed {eval_seed} scale {scale:6.0f}: empty mesh")
+                continue
+            delta = float(m.vertices[:, 0].max() - ox.max())
+            loc = locality_iou(original, m, handle, target)
+            print(
+                f"  inv_seed {eval_seed} scale {scale:6.0f}: "
+                f"delta {delta:+.3f}, locality IoU {loc:.3f}"
+            )
+            if loc >= min_iou and (best is None or delta > best[0]):
+                best = (delta, scale, loc, eval_seed)
+    return best
 
 
 def main(argv=None):
@@ -195,54 +209,130 @@ def main(argv=None):
             "tests", "assets", "edit_gate.npz",
         ),
     )
+    p.add_argument("--cache_dir", type=str, default="/tmp/gate_instances",
+                   help="trained instances are cached here so evaluator "
+                        "changes don't retrain")
     args = p.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
+    def flat_tree(tree, out, base):
+        for k, v in tree.items():
+            key = f"{base}::{k}"
+            if isinstance(v, dict):
+                flat_tree(v, out, key)
+            else:
+                out[key] = np.asarray(v)
+
+    os.makedirs(args.cache_dir, exist_ok=True)
+    overall = None  # (delta, payload) best across ALL seeds
     for seed in args.seeds:
-        print(f"=== training toy instance seed={seed} ===", flush=True)
-        engine, latents, ema, dec, half_range, middle = build_toy_system(
-            seed, args.ddpm_steps, args.decoder_steps
+        cache = os.path.join(
+            args.cache_dir, f"seed{seed}_d{args.ddpm_steps}.npz"
         )
-        best, handle, target = evaluate(engine, latents)
-        if best is None:
-            continue
-        delta, scale, loc = best
-        print(f"seed {seed}: best delta {delta:+.3f} @ scale {scale}, IoU {loc:.3f}")
-        if delta >= args.min_delta and loc >= args.min_iou:
+        if os.path.exists(cache):
+            print(f"=== seed={seed}: loading cached instance ===", flush=True)
+            npz = np.load(cache)
+            from tests.test_edit_gate import _unflatten
+
+            ema = _unflatten(npz, "ema")
+            dec = _unflatten(npz, "dec")
+            latents = npz["latents"]
+            half_range, middle = npz["half_range"], npz["middle"]
+            engine = _engine_from_parts(ema, dec, half_range, middle)
+        else:
+            print(f"=== training toy instance seed={seed} ===", flush=True)
+            engine, latents, ema, dec, half_range, middle = build_toy_system(
+                seed, args.ddpm_steps, args.decoder_steps
+            )
             flat = {}
-            for prefix, leaves in ema.items():
-                for leaf, arr in leaves.items():
-                    flat[f"ema::{prefix}::{leaf}"] = np.asarray(arr)
-
-            def flat_tree(tree, out, base):
-                for k, v in tree.items():
-                    key = f"{base}::{k}"
-                    if isinstance(v, dict):
-                        flat_tree(v, out, key)
-                    else:
-                        out[key] = np.asarray(v)
-
+            flat_tree(ema, flat, "ema")
             flat_tree(dec, flat, "dec")
-            os.makedirs(os.path.dirname(args.out), exist_ok=True)
             np.savez_compressed(
-                args.out,
-                latent0=latents[0],
-                half_range=half_range,
-                middle=middle,
-                train_seed=np.int64(seed),
-                eval_seed=np.int64(0),
-                scale=np.float32(scale),
-                achieved_delta=np.float32(delta),
-                achieved_iou=np.float32(loc),
+                cache, latents=latents, half_range=half_range, middle=middle,
                 **flat,
             )
-            print(f"saved {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB)")
-            return 0
-    print("NO instance met the gate thresholds", file=sys.stderr)
-    return 1
+        best = evaluate(engine, latents, min_iou=args.min_iou)
+        if best is None:
+            print(f"seed {seed}: no local edit at any scale", flush=True)
+            continue
+        delta, scale, loc, eval_seed = best
+        print(
+            f"seed {seed}: best delta {delta:+.3f} @ scale {scale}, "
+            f"IoU {loc:.3f}, inv_seed {eval_seed}",
+            flush=True,
+        )
+        flat = {}
+        flat_tree(ema, flat, "ema")
+        flat_tree(dec, flat, "dec")
+        payload = dict(
+            latent0=latents[0],
+            half_range=half_range,
+            middle=middle,
+            train_seed=np.int64(seed),
+            eval_seed=np.int64(eval_seed),
+            scale=np.float32(scale),
+            achieved_delta=np.float32(delta),
+            achieved_iou=np.float32(loc),
+            **flat,
+        )
+        if overall is None or delta > overall[0]:
+            overall = (delta, payload)
+        if delta >= args.min_delta and loc >= args.min_iou:
+            break
+    if overall is None or overall[0] < args.min_delta:
+        got = "none" if overall is None else f"{overall[0]:+.3f}"
+        print(
+            f"NO instance met min_delta={args.min_delta} (best {got})",
+            file=sys.stderr,
+        )
+        return 1
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez_compressed(args.out, **overall[1])
+    print(f"saved {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB)")
+    return 0
+
+
+def _engine_from_parts(ema, dec, half_range, middle):
+    from ishapediting_tpu.config import (
+        DiffusionConfig,
+        EditConfig,
+        FitConfig,
+        PipelineConfig,
+        UNetConfig,
+    )
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.io.model_dir import TriplaneStats
+
+    PLANE_RES, PLANE_CH = 16, 8
+    cfg = PipelineConfig(
+        unet=UNetConfig(
+            image_size=PLANE_RES,
+            in_channels=3 * PLANE_CH,
+            model_channels=32,
+            out_channels=6 * PLANE_CH,
+            num_res_blocks=1,
+            attention_ds=(4,),
+            channel_mult=(1, 2),
+            num_head_channels=16,
+            dropout=0.0,
+            compute_dtype="float32",
+        ),
+        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+                        feat_store_dtype="float32"),
+        fit=FitConfig(points_size=10_000, batch_points=2_000),
+        plane_channels=PLANE_CH,
+    )
+    return DragEngine(
+        cfg,
+        unet_params=ema,
+        decoder_params=dec,
+        stats=TriplaneStats(half_range=half_range, middle=middle),
+        remat=False,
+    )
 
 
 if __name__ == "__main__":
