@@ -120,24 +120,28 @@ def _fetch_scalar(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
-def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0):
+def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
+                        cfg=None, remat: bool = True):
     """Time the real engine edit/inversion/fit paths at full scale.
 
     Returns a dict of wall-clocks + a per-phase effective-TF/s table vs the
     measured matmul ceiling. Random weights time identically to trained ones
     on every device path; the decoder bias is shifted post-init so the host
     decode path (fetch + marching + smoothing) sees a realistic surface.
+
+    ``cfg`` defaults to the published full-scale pipeline; tests inject the
+    tiny preset to exercise this exact code path on CPU.
     """
     import tempfile
-    import dataclasses
 
     from ishapediting_tpu.config import PipelineConfig
     from ishapediting_tpu.edit.engine import DragEngine
     from ishapediting_tpu.ops.triplane import decode_grid
     from ishapediting_tpu.edit.fit import latent_to_planes
 
-    cfg = PipelineConfig()  # 200-step respacing, w_time=170, 256^3 decode
-    engine = DragEngine(cfg, seed=0)
+    if cfg is None:
+        cfg = PipelineConfig()  # 200-step respacing, w_time=170, 256^3 decode
+    engine = DragEngine(cfg, seed=0, remat=remat)
     latent = jax.random.normal(
         jax.random.PRNGKey(1), (1,) + cfg.latent_shape, jnp.float32
     )

@@ -1,0 +1,39 @@
+"""CI coverage for bench.py's product-path section at tiny scale.
+
+The driver runs bench.py once per round on the real chip; a crash inside
+``bench_product_paths`` would cost the round's BENCH record. This exercises
+the exact code path (engine init, decoder-bias surface calibration,
+inversion, replay drag, fit, phase table) on CPU with the tiny preset.
+"""
+
+import numpy as np
+
+from ishapediting_tpu.config import preset
+
+
+def test_bench_product_paths_tiny():
+    import bench
+
+    cfg = preset("tiny")
+    out = bench.bench_product_paths(
+        flops_fwd=1e9, cfg=cfg, remat=False
+    )
+    for key in (
+        "edit_wall_s",
+        "edit_wall_cold_s",
+        "inversion_wall_s",
+        "inversion_wall_cold_s",
+        "fit_wall_s",
+        "fit_wall_cold_s",
+        "mesh_decode_wall_s",
+        "decode_device_s",
+        "grid_fetch_s",
+    ):
+        assert key in out and np.isfinite(out[key]) and out[key] >= 0, key
+    # the calibrated decoder must actually produce a surface
+    assert out["mesh_verts"] > 0
+    pt = out["phase_tflops"]
+    for key in ("drag_step", "inversion", "fit_step", "decode_grid"):
+        # tiny-scale TF/s rounds to 0.0 at one decimal; finiteness and
+        # non-negativity are the structural contract
+        assert np.isfinite(pt[key]) and pt[key] >= 0, key
