@@ -2,7 +2,8 @@
 
 Loads the committed known-good toy instance (tests/assets/edit_gate.npz,
 built by tools/make_edit_gate_asset.py) and re-runs the SAME fixed-seed
-replay-mode drag the asset was validated with. Asserts the drag actually
+drag (noise mode / cof / scale recorded in the asset) it was validated
+with. Asserts the drag actually
 moves the +x pole by a minimum displacement AND stays local (occupancy IoU
 outside the handle/target balls). This turns guidance effectiveness — the
 composed trajectory, not just the loss math covered by
@@ -92,6 +93,8 @@ def test_fixed_seed_drag_displacement_and_locality(gate_engine):
     engine, npz = gate_engine
     eval_seed = int(npz["eval_seed"])
     scale = float(npz["scale"])
+    cof = float(npz["cof"]) if "cof" in npz.files else 1.0
+    mode = str(npz["noise_mode"]) if "noise_mode" in npz.files else "replay"
     achieved = float(npz["achieved_delta"])
 
     engine.latent_inversion(jnp.asarray(npz["latent0"][None]), seed=eval_seed)
@@ -101,8 +104,8 @@ def test_fixed_seed_drag_displacement_and_locality(gate_engine):
     target = handle + np.array([0.25, 0, 0], np.float32)
 
     edited = engine.drag_edit(
-        handle[None], target[None], scale=scale, cof=1.0,
-        seed=eval_seed, chunk=4, noise_mode="replay",
+        handle[None], target[None], scale=scale, cof=cof,
+        seed=eval_seed, chunk=4, noise_mode=mode,
     )
     assert len(edited.vertices) > 0, "edit produced an empty mesh"
     delta = float(edited.vertices[:, 0].max() - ox.max())

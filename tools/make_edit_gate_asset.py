@@ -159,11 +159,15 @@ def evaluate(
     latents,
     eval_seeds=(0, 1, 2),
     scales=(300.0, 450.0, 600.0, 800.0, 1000.0, 1400.0),
+    cofs=(0.3, 1.0),
+    modes=("replay", "fixed_variance"),
     min_iou=0.75,
 ):
-    """Sweep inversion seed x scale (replay mode draws no fresh noise, so
-    the inversion seed is the only stochastic knob); return the best
-    (delta, scale, iou, eval_seed) whose edit stays local."""
+    """Sweep noise-mode x cof x inversion-seed x scale; return the best
+    (delta, scale, iou, eval_seed, cof, mode) whose edit stays local.
+    Replay mode draws no fresh noise, so the inversion seed is its only
+    stochastic knob; cof is the reference GUI's mask-weight knob (default
+    0.4 there — heavy masks fight motion)."""
     import jax.numpy as jnp
 
     best = None
@@ -175,22 +179,24 @@ def evaluate(
         ox = original.vertices[:, 0]
         handle = original.vertices[np.argmax(ox)].astype(np.float32)
         target = handle + np.array([0.25, 0, 0], np.float32)
-        for scale in scales:
-            m = engine.drag_edit(
-                handle[None], target[None], scale=scale, cof=1.0,
-                seed=eval_seed, chunk=4, noise_mode="replay",
-            )
-            if len(m.vertices) == 0:
-                print(f"  inv_seed {eval_seed} scale {scale:6.0f}: empty mesh")
-                continue
-            delta = float(m.vertices[:, 0].max() - ox.max())
-            loc = locality_iou(original, m, handle, target)
-            print(
-                f"  inv_seed {eval_seed} scale {scale:6.0f}: "
-                f"delta {delta:+.3f}, locality IoU {loc:.3f}"
-            )
-            if loc >= min_iou and (best is None or delta > best[0]):
-                best = (delta, scale, loc, eval_seed)
+        for mode in modes:
+            for cof in cofs:
+                for scale in scales:
+                    m = engine.drag_edit(
+                        handle[None], target[None], scale=scale, cof=cof,
+                        seed=eval_seed, chunk=4, noise_mode=mode,
+                    )
+                    if len(m.vertices) == 0:
+                        continue
+                    delta = float(m.vertices[:, 0].max() - ox.max())
+                    loc = locality_iou(original, m, handle, target)
+                    print(
+                        f"  inv_seed {eval_seed} {mode} cof {cof} scale "
+                        f"{scale:6.0f}: delta {delta:+.3f}, IoU {loc:.3f}",
+                        flush=True,
+                    )
+                    if loc >= min_iou and (best is None or delta > best[0]):
+                        best = (delta, scale, loc, eval_seed, cof, mode)
     return best
 
 
@@ -258,10 +264,10 @@ def main(argv=None):
         if best is None:
             print(f"seed {seed}: no local edit at any scale", flush=True)
             continue
-        delta, scale, loc, eval_seed = best
+        delta, scale, loc, eval_seed, cof, mode = best
         print(
             f"seed {seed}: best delta {delta:+.3f} @ scale {scale}, "
-            f"IoU {loc:.3f}, inv_seed {eval_seed}",
+            f"IoU {loc:.3f}, inv_seed {eval_seed}, cof {cof}, mode {mode}",
             flush=True,
         )
         flat = {}
@@ -274,6 +280,8 @@ def main(argv=None):
             train_seed=np.int64(seed),
             eval_seed=np.int64(eval_seed),
             scale=np.float32(scale),
+            cof=np.float32(cof),
+            noise_mode=np.str_(mode),
             achieved_delta=np.float32(delta),
             achieved_iou=np.float32(loc),
             **flat,
