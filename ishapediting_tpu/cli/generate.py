@@ -93,6 +93,7 @@ def main(argv=None):
     t1 = time.time()
     samples = []
     snapshots = []  # per batch: [K, n, H, W, C]
+    _snap_cache = {}  # batch size -> jitted snapshot loop (no per-batch retrace)
     remaining = args.num_samples
     batch_idx = 0
     while remaining > 0:
@@ -101,29 +102,35 @@ def main(argv=None):
         m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
         if snapshot_steps is not None:
             # snapshot path: single-device jitted loop with the scan-carried
-            # [K, B, ...] snapshot buffer (core/diffusion.py)
+            # [K, B, ...] snapshot buffer (core/diffusion.py). rng derivation
+            # MIRRORS parallel/sampling.py::sample_sharded (x_T from the
+            # batch key, loop rng from fold_in(key, 1)) so adding
+            # --save_intermediate dumps intermediates of the SAME samples a
+            # plain run produces.
             from functools import partial as _partial
 
             from ishapediting_tpu.core.diffusion import p_sample_loop_snapshots
 
-            fn = jax.jit(
-                lambda params, x, r: p_sample_loop_snapshots(
-                    engine.sched,
-                    _partial(model_fn_p, params),
-                    x,
-                    r,
-                    snapshot_steps=snapshot_steps,
-                    use_ddim=args.use_ddim,
-                    clip_denoised=config.diffusion.clip_denoised,
+            fn = _snap_cache.get(n)
+            if fn is None:
+                fn = jax.jit(
+                    lambda params, x, r: p_sample_loop_snapshots(
+                        engine.sched,
+                        _partial(model_fn_p, params),
+                        x,
+                        r,
+                        snapshot_steps=snapshot_steps,
+                        use_ddim=args.use_ddim,
+                        clip_denoised=config.diffusion.clip_denoised,
+                    )
                 )
-            )
+                _snap_cache[n] = fn
+            batch_key = jax.random.PRNGKey(args.seed + batch_idx)
             x_T = jax.random.normal(
-                jax.random.PRNGKey(args.seed + 1000 + batch_idx),
-                (n,) + config.latent_shape,
-                jnp.float32,
+                batch_key, (n,) + config.latent_shape, jnp.float32
             )
             out_d = fn(
-                engine.unet_params, x_T, jax.random.PRNGKey(args.seed + batch_idx)
+                engine.unet_params, x_T, jax.random.fold_in(batch_key, 1)
             )
             out = out_d["sample"]
             snapshots.append(np.asarray(out_d["snapshots"]))

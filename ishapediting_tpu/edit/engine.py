@@ -310,8 +310,13 @@ class DragEngine:
         grid = decode_grid(
             self.decoder_params, planes, res=res, out_dtype=jnp.float16
         )
-        k = int(os.environ.get("ISHAPE_FETCH_SLABS", "1"))
-        if k > 1 and res % k == 0:
+        try:
+            k = int(os.environ.get("ISHAPE_FETCH_SLABS", "1"))
+        except ValueError:
+            k = 1
+        while k > 1 and res % k:  # largest divisor of res not exceeding k
+            k -= 1
+        if k > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             step = res // k

@@ -41,6 +41,8 @@ def _numpy_occupancy(mesh: TriMesh, points: np.ndarray) -> np.ndarray:
     """Vertical (+z) ray-parity test, bucketed on a 2D grid over (x, y)."""
     v = mesh.vertices
     tris = mesh.triangles
+    if len(tris) == 0 or len(v) == 0:
+        return np.zeros(len(points), np.float64)
     a, b, c = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
     pts = points + _EPS_SHIFT  # avoid exact edge hits
 

@@ -44,45 +44,15 @@ def _unflatten(npz, base):
 def gate_engine():
     if not os.path.exists(ASSET):
         pytest.skip("edit_gate.npz asset not built")
-    from ishapediting_tpu.config import (
-        DiffusionConfig,
-        EditConfig,
-        FitConfig,
-        PipelineConfig,
-        UNetConfig,
-    )
-    from ishapediting_tpu.edit.engine import DragEngine
-    from ishapediting_tpu.io.model_dir import TriplaneStats
+    # single source of truth for the toy pipeline config: the asset builder
+    from tools.make_edit_gate_asset import _engine_from_parts
 
     npz = np.load(ASSET)
-    PLANE_RES, PLANE_CH = 16, 8
-    cfg = PipelineConfig(
-        unet=UNetConfig(
-            image_size=PLANE_RES,
-            in_channels=3 * PLANE_CH,
-            model_channels=32,
-            out_channels=6 * PLANE_CH,
-            num_res_blocks=1,
-            attention_ds=(4,),
-            channel_mult=(1, 2),
-            num_head_channels=16,
-            dropout=0.0,
-            compute_dtype="float32",
-        ),
-        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
-                        feat_store_dtype="float32"),
-        fit=FitConfig(points_size=10_000, batch_points=2_000),
-        plane_channels=PLANE_CH,
-    )
-    engine = DragEngine(
-        cfg,
-        unet_params=_unflatten(npz, "ema"),
-        decoder_params=_unflatten(npz, "dec"),
-        stats=TriplaneStats(
-            half_range=npz["half_range"], middle=npz["middle"]
-        ),
-        remat=False,
+    engine = _engine_from_parts(
+        _unflatten(npz, "ema"),
+        _unflatten(npz, "dec"),
+        npz["half_range"],
+        npz["middle"],
     )
     return engine, npz
 

@@ -45,26 +45,53 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
 
     rng = np.random.default_rng(seed)
     n = 12
+    # Spheres WITH random local bumps: the original sphere-only manifold
+    # (center_x, radius) admits NO local deformation, so any drag strong
+    # enough to move the pole was necessarily globally destructive
+    # (measured: delta +0.26..+0.51 always came with locality IoU ~0).
+    # With 1-3 attached bumps per training shape, "pull this surface point
+    # outward" is an on-manifold LOCAL response the prior can follow.
     centers = np.stack(
-        [rng.uniform(-0.25, 0.25, n), np.zeros(n), np.zeros(n)], axis=1
+        [rng.uniform(-0.2, 0.2, n), np.zeros(n), np.zeros(n)], axis=1
     ).astype(np.float32)
-    radii = rng.uniform(0.3, 0.5, n).astype(np.float32)
+    radii = rng.uniform(0.3, 0.42, n).astype(np.float32)
+    n_bumps = rng.integers(1, 4, n)
+    bump_dirs, bump_radii, bump_centers = [], [], []
+    for i in range(n):
+        d = rng.standard_normal((int(n_bumps[i]), 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        br = rng.uniform(0.10, 0.18, int(n_bumps[i])).astype(np.float32)
+        bc = centers[i] + d * radii[i]  # half-embedded caps on the surface
+        bump_dirs.append(d)
+        bump_radii.append(br)
+        bump_centers.append(bc)
 
     def occupancy(obj_idx, pts):
-        return (
-            np.linalg.norm(pts - centers[obj_idx], axis=1) < radii[obj_idx]
-        ).astype(np.float32)
+        inside = np.linalg.norm(pts - centers[obj_idx], axis=1) < radii[obj_idx]
+        for bc, br in zip(bump_centers[obj_idx], bump_radii[obj_idx]):
+            inside |= np.linalg.norm(pts - bc, axis=1) < br
+        return inside.astype(np.float32)
 
     def dec_batches():
         while True:
             obj = int(rng.integers(0, n))
             u = rng.uniform(-1, 1, (1024, 3)).astype(np.float32)
-            sdir = rng.standard_normal((1024, 3)).astype(np.float32)
+            sdir = rng.standard_normal((768, 3)).astype(np.float32)
             sdir /= np.linalg.norm(sdir, axis=1, keepdims=True)
             s = centers[obj] + sdir * (
-                radii[obj] + rng.normal(0, 0.05, (1024, 1))
+                radii[obj] + rng.normal(0, 0.05, (768, 1))
             ).astype(np.float32)
-            pts = np.concatenate([u, s], axis=0)
+            # near-surface samples around each bump cap too
+            bs = []
+            for bc, br in zip(bump_centers[obj], bump_radii[obj]):
+                bd = rng.standard_normal((96, 3)).astype(np.float32)
+                bd /= np.linalg.norm(bd, axis=1, keepdims=True)
+                bs.append(
+                    bc + bd * (br + rng.normal(0, 0.03, (96, 1))).astype(
+                        np.float32
+                    )
+                )
+            pts = np.concatenate([u, s] + bs, axis=0)
             yield obj, pts, occupancy(obj, pts)
 
     PLANE_RES, PLANE_CH = 16, 8
@@ -236,7 +263,7 @@ def main(argv=None):
     overall = None  # (delta, payload) best across ALL seeds
     for seed in args.seeds:
         cache = os.path.join(
-            args.cache_dir, f"seed{seed}_d{args.ddpm_steps}.npz"
+            args.cache_dir, f"bumpy_seed{seed}_d{args.ddpm_steps}.npz"
         )
         if os.path.exists(cache):
             print(f"=== seed={seed}: loading cached instance ===", flush=True)
