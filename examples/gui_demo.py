@@ -112,8 +112,9 @@ def main():
     app._lambda_edit.text_value = "0.2"
     app._radius_edit.text_value = "2"
     app._start_btn.click()
-    assert app._status.text == "edit done", app._status.text
-    print(f"[gui_demo] edit done, progress={app._progress.value:.2f}")
+    # status carries the per-step guidance diagnostics on completion
+    assert app._status.text.startswith("edit done (motion loss "), app._status.text
+    print(f"[gui_demo] {app._status.text}, progress={app._progress.value:.2f}")
 
     after_png = os.path.join(args.out, "after.png")
     screenshot(after_png)

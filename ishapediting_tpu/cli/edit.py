@@ -183,6 +183,13 @@ def main(argv=None):
             seed=args.seed,
             progress_callback=lambda p: print(f"  progress {p:5.1%}", flush=True),
         )
+        losses = engine.last_drag_losses
+        if losses is not None and losses["motion"].size:
+            print(
+                f"  motion loss {losses['motion'][0]:.4f} -> "
+                f"{losses['motion'][-1]:.4f}, mask loss "
+                f"{losses['mask'][-1]:.4f} (per-step guidance diagnostics)"
+            )
         out_path = os.path.join(args.out, f"edit{edit_id}.obj")
         mesh.write(out_path)
         if args.render:

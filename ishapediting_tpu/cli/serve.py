@@ -171,11 +171,17 @@ class EditServer:
             "scale": scale,
             "cof": cof,
         }
-        return {
+        resp = {
             "vertices": int(len(mesh.vertices)),
             "triangles": int(len(mesh.triangles)),
             "stopped_early": not eng.train_flag,
         }
+        losses = eng.last_drag_losses
+        if losses is not None and losses["motion"].size:
+            # per-step guidance diagnostics (edit/engine.py drag_edit)
+            resp["motion_loss_first"] = float(losses["motion"][0])
+            resp["motion_loss_last"] = float(losses["motion"][-1])
+        return resp
 
     def _cmd_stop(self, req, emit):
         eng = self._require_engine()

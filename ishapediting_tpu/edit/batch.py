@@ -117,10 +117,12 @@ def drag_edit_batched(
             t, feat, var, vn = inp
             key_t = jax.random.fold_in(key, t)
             if noise_mode == "fixed_variance":
-                return step(img, t, feat, key_t, variance_override=var), None
-            if noise_mode == "replay":
-                return step(img, t, feat, key_t, variance_noise=vn), None
-            return step(img, t, feat, key_t), None
+                nxt, _ = step(img, t, feat, key_t, variance_override=var)
+            elif noise_mode == "replay":
+                nxt, _ = step(img, t, feat, key_t, variance_noise=vn)
+            else:
+                nxt, _ = step(img, t, feat, key_t)
+            return nxt, None
 
         ts = jnp.arange(w_time - 1, -1, -1)
         img, _ = jax.lax.scan(

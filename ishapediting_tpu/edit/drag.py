@@ -133,6 +133,10 @@ def make_drag_step(
     """
 
     def step(img, t, origin_feat, rng, variance_override=None, variance_noise=None):
+        """Returns ``(x_{t-1}, (motion, mask))``. The per-step losses are
+        already computed for the gradient, so surfacing them is free — the
+        engine exposes them as drag diagnostics (``last_drag_losses``) and
+        the edit-effect regression gate asserts on them."""
         tb = jnp.full((img.shape[0],), t, jnp.int32)
 
         def loss_fn(im):
@@ -149,12 +153,12 @@ def make_drag_step(
             edit_feat = regroup_features(out["inter_feat"])[0]  # [3,s,s,C]
             motion, mask = drag_losses(edit_feat, origin_feat, problem, loss_type)
             loss = -motion - cof * mask
-            return loss, (out["sample"], out["variance"])
+            return loss, (out["sample"], out["variance"], motion, mask)
 
-        (_, (sample, variance)), grad = jax.value_and_grad(loss_fn, has_aux=True)(
-            img
-        )
-        return sample + variance * (scale * grad)
+        (_, (sample, variance, motion, mask)), grad = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(img)
+        return sample + variance * (scale * grad), (motion, mask)
 
     return step
 
@@ -180,8 +184,8 @@ def drag_edit_scan(
 
     def body(img, inp):
         t, feat = inp
-        img = step(img, t, feat, jax.random.fold_in(rng, t))
-        return img, None
+        img, losses = step(img, t, feat, jax.random.fold_in(rng, t))
+        return img, losses
 
     ts = jnp.arange(w_time - 1, t_stop - 1, -1)
     feats = features[: w_time - t_stop]

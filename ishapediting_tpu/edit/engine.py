@@ -130,6 +130,8 @@ class DragEngine:
         self.mesh: Optional[TriMesh] = None
         self.mesh0: Optional[TriMesh] = None
         self.edited_latent: Optional[np.ndarray] = None  # last drag result
+        # per-step guidance losses of the last drag_edit ({"motion","mask"})
+        self.last_drag_losses: Optional[Dict[str, np.ndarray]] = None
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
@@ -444,6 +446,7 @@ class DragEngine:
         rng = jax.random.PRNGKey(seed)
         t = w_time
         stop_time = 0
+        motion_hist, mask_hist = [], []
 
         def pad_chunk(arr):
             """[n, ...] -> [chunk, ...] by repeating the last entry; keeps the
@@ -478,7 +481,7 @@ class DragEngine:
                         self.variance_noise, w_time - t, n, axis=0
                     )
                 )
-            img = step_fn(
+            img, motions, masks = step_fn(
                 self.unet_params,
                 img,
                 jnp.asarray(ts),
@@ -490,12 +493,25 @@ class DragEngine:
                 jnp.asarray(scale, jnp.float32),
                 jnp.asarray(cof, jnp.float32),
             )
+            # keep as device arrays — fetching here would sync every chunk
+            motion_hist.append(motions[:n])
+            mask_hist.append(masks[:n])
             t -= n
             if progress_callback is not None:
                 progress_callback(1.0 - t / max(w_time - 1.0, 1.0))
             if not self.train_flag:
                 stop_time = t
                 break
+        # Per-step guidance losses, t = w_time-1 .. stop_time. Free to
+        # surface (already computed for the gradient); the edit-effect
+        # regression gate (tests/test_edit_gate.py) asserts on them and they
+        # are useful product diagnostics for scale/cof tuning.
+        self.last_drag_losses = {
+            "motion": np.concatenate([np.asarray(m) for m in motion_hist])
+            if motion_hist else np.zeros(0, np.float32),
+            "mask": np.concatenate([np.asarray(m) for m in mask_hist])
+            if mask_hist else np.zeros(0, np.float32),
+        }
         self.edited_latent = np.asarray(img)
         self.mesh = self.get_mesh(img, t=stop_time)
         return self.mesh
@@ -527,12 +543,17 @@ class DragEngine:
 
             # t == -1 marks chunk padding (engine.drag_edit pads the final
             # partial chunk to keep shapes static); skip those steps.
-            return jax.lax.cond(t >= 0, real_step, lambda im: im, im), None
+            def skip(im):
+                zero = jnp.float32(0.0)
+                return im, (zero, zero)
 
-        img, _ = jax.lax.scan(
+            im, losses = jax.lax.cond(t >= 0, real_step, skip, im)
+            return im, losses
+
+        img, (motions, masks) = jax.lax.scan(
             body, img.astype(jnp.float32), (ts, feats, variances, variance_noises)
         )
-        return img
+        return img, motions, masks
 
     # ------------------------------------------------------------------
     # Real-shape fitting + inversion (reference: drag_utils.py:401-471,552-566)
@@ -681,6 +702,7 @@ class DragEngine:
         self.feature_guidance = None
         self.variances = None
         self.variance_noise = None
+        self.last_drag_losses = None
 
     def reset_params(self) -> None:
         if self.mesh0 is not None:

@@ -303,7 +303,14 @@ class App:  # pragma: no cover - interactive
                 progress_callback=self._set_progress,
             )
             self.update_mesh(mesh, update_camera=False)
-            self._set_status("edit done")
+            losses = self.engine.last_drag_losses
+            if losses is not None and losses["motion"].size:
+                self._set_status(
+                    f"edit done (motion loss {losses['motion'][0]:.3f} -> "
+                    f"{losses['motion'][-1]:.3f})"
+                )
+            else:
+                self._set_status("edit done")
 
         threading.Thread(target=work, daemon=True).start()
 

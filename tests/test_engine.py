@@ -70,6 +70,13 @@ def test_drag_edit_runs_and_changes_latent(engine):
     assert progress and progress[-1] == pytest.approx(1.0, abs=1e-6)
     # w itself must be untouched (reset_params can restore)
     np.testing.assert_array_equal(np.asarray(engine.w), w_before)
+    # per-step guidance diagnostics: one finite (motion, mask) pair per step
+    losses = engine.last_drag_losses
+    w_time = TINY_PIPELINE.edit.w_time
+    assert losses["motion"].shape == (w_time,)
+    assert losses["mask"].shape == (w_time,)
+    assert np.all(np.isfinite(losses["motion"]))
+    assert np.all(losses["motion"] > 0)  # feature mismatch is never exactly 0
 
 
 def test_drag_edit_scale_change_no_retrace(engine):
@@ -94,6 +101,8 @@ def test_drag_edit_stop_flag(engine):
 
     engine.drag_edit(src, tgt, scale=100.0, cof=0.2, chunk=2, progress_callback=cb)
     assert len(ticks) == 1  # stopped early, finished unguided
+    # diagnostics only cover the guided steps actually run (one chunk)
+    assert engine.last_drag_losses["motion"].shape == (2,)
 
 
 def test_reset_and_clear(engine):

@@ -253,5 +253,6 @@ def test_create_mesh_with_real_engine(app, sync_threads):
     app._lambda_edit.text_value = "0.2"
     app._start_btn.click()
     assert app.engine.config.edit.r1 == 3
-    assert app._status.text == "edit done"
+    # status surfaces the per-step guidance diagnostics on completion
+    assert app._status.text.startswith("edit done (motion loss ")
     assert app._progress.value > 0.99

@@ -49,6 +49,8 @@ def test_sample_drag_capture_flow(server, tmp_path):
         emit=events.append,
     )
     assert r["ok"] and r["vertices"] > 0 and not r["stopped_early"]
+    # guidance diagnostics ride along in the response
+    assert r["motion_loss_first"] > 0 and np.isfinite(r["motion_loss_last"])
     values = [e["value"] for e in events if e.get("event") == "progress"]
     assert values and values[-1] > 0.99
 

@@ -1,17 +1,20 @@
 """Build the committed edit-effect regression asset (tests/assets/edit_gate.npz).
 
 Trains toy sphere systems (the examples/toy_pipeline.py recipe) across seeds,
-evaluates replay-mode drag displacement at a FIXED eval seed over a small
-scale sweep, and saves the first instance whose best fixed-scale edit moves
-the +x pole by >= --min_delta while keeping the rest of the shape intact
-(IoU outside the handle/target balls >= --min_iou). The regression test
-(tests/test_edit_gate.py) then reloads this asset and re-runs the SAME
-fixed-seed edit, gating with margin below the recorded numbers.
+then evaluates deterministic replay-mode drags at a FIXED eval seed over a
+small scale sweep, scoring each by *guidance-loss improvement*: the relative
+reduction of the final-step motion loss vs the scale-0 replay of the same
+trajectory. The first instance whose best setting reduces motion loss by
+>= --min_reduction (while the edit is not glaringly global,
+IoU >= --min_iou) is saved. The regression test (tests/test_edit_gate.py)
+reloads the asset, re-runs the SAME fixed-seed guided + scale-0 drags, and
+gates with margin below the recorded reduction.
 
-Background: drag-edit effectiveness on toy instances varies strongly with the
-training run (docs/PERF.md "Instance variance") — committing one known-good
-instance turns "the composed guidance trajectory actually moves the surface"
-into a deterministic CI assertion instead of a sweep-selected demo.
+Why loss-based: surface displacement on toy instances depends strongly on
+the trained prior (docs/PERF.md "Instance variance"), but the guided
+trajectory ending with materially lower motion loss than the unguided
+replay is a property of the guidance *code* — a sign flip, scale wiring
+bug, or feature-tap/regroup breakage all erase it deterministically.
 
 Run on CPU (determinism):  python tools/make_edit_gate_asset.py
 """
@@ -132,7 +135,7 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
             compute_dtype="float32",
         ),
         diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=5,
                         feat_store_dtype="float32"),
         fit=FitConfig(points_size=10_000, batch_points=2_000),
         plane_channels=PLANE_CH,
@@ -187,14 +190,20 @@ def evaluate(
     eval_seeds=(0, 1, 2),
     scales=(300.0, 450.0, 600.0, 800.0, 1000.0, 1400.0),
     cofs=(0.3, 1.0),
-    modes=("replay", "fixed_variance"),
-    min_iou=0.75,
+    min_iou=0.60,
 ):
-    """Sweep noise-mode x cof x inversion-seed x scale; return the best
-    (delta, scale, iou, eval_seed, cof, mode) whose edit stays local.
-    Replay mode draws no fresh noise, so the inversion seed is its only
-    stochastic knob; cof is the reference GUI's mask-weight knob (default
-    0.4 there — heavy masks fight motion)."""
+    """Sweep inversion-seed x cof x scale in deterministic replay mode and
+    return the best setting by *guidance-loss improvement*: the relative
+    reduction of the final-step motion loss vs the scale-0 replay of the
+    same trajectory. That metric is what the guidance code owns — a sign
+    flip, scale-wiring bug, or tap/regroup breakage all show up as the
+    guided trajectory failing to reduce motion loss — whereas the surface
+    displacement it induces depends on the (high-variance) toy prior
+    (docs/PERF.md "Instance variance"). Displacement/locality are recorded
+    as diagnostics; locality only vetoes glaringly global edits.
+
+    Returns (reduction, scale, motion0, motion, delta, iou, eval_seed, cof)
+    or None."""
     import jax.numpy as jnp
 
     best = None
@@ -206,24 +215,37 @@ def evaluate(
         ox = original.vertices[:, 0]
         handle = original.vertices[np.argmax(ox)].astype(np.float32)
         target = handle + np.array([0.25, 0, 0], np.float32)
-        for mode in modes:
-            for cof in cofs:
-                for scale in scales:
-                    m = engine.drag_edit(
-                        handle[None], target[None], scale=scale, cof=cof,
-                        seed=eval_seed, chunk=4, noise_mode=mode,
+        # scale-0 replay = the unguided trajectory; its final motion loss is
+        # the baseline the guided run must beat
+        engine.drag_edit(
+            handle[None], target[None], scale=0.0, cof=0.0,
+            seed=eval_seed, chunk=4, noise_mode="replay",
+        )
+        motion0 = float(engine.last_drag_losses["motion"][-1])
+        for cof in cofs:
+            for scale in scales:
+                m = engine.drag_edit(
+                    handle[None], target[None], scale=scale, cof=cof,
+                    seed=eval_seed, chunk=4, noise_mode="replay",
+                )
+                if len(m.vertices) == 0:
+                    continue
+                motion = float(engine.last_drag_losses["motion"][-1])
+                reduction = 1.0 - motion / motion0
+                delta = float(m.vertices[:, 0].max() - ox.max())
+                loc = locality_iou(original, m, handle, target)
+                print(
+                    f"  inv_seed {eval_seed} cof {cof} scale {scale:6.0f}: "
+                    f"motion {motion0:.4f}->{motion:.4f} "
+                    f"(red {reduction:+.1%}), delta {delta:+.3f}, "
+                    f"IoU {loc:.3f}",
+                    flush=True,
+                )
+                if loc >= min_iou and (best is None or reduction > best[0]):
+                    best = (
+                        reduction, scale, motion0, motion, delta, loc,
+                        eval_seed, cof,
                     )
-                    if len(m.vertices) == 0:
-                        continue
-                    delta = float(m.vertices[:, 0].max() - ox.max())
-                    loc = locality_iou(original, m, handle, target)
-                    print(
-                        f"  inv_seed {eval_seed} {mode} cof {cof} scale "
-                        f"{scale:6.0f}: delta {delta:+.3f}, IoU {loc:.3f}",
-                        flush=True,
-                    )
-                    if loc >= min_iou and (best is None or delta > best[0]):
-                        best = (delta, scale, loc, eval_seed, cof, mode)
     return best
 
 
@@ -232,8 +254,10 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4, 5])
     p.add_argument("--ddpm_steps", type=int, default=8000)
     p.add_argument("--decoder_steps", type=int, default=600)
-    p.add_argument("--min_delta", type=float, default=0.15)
-    p.add_argument("--min_iou", type=float, default=0.75)
+    p.add_argument("--min_reduction", type=float, default=0.30,
+                   help="required relative reduction of final-step motion "
+                        "loss vs the scale-0 replay")
+    p.add_argument("--min_iou", type=float, default=0.60)
     p.add_argument(
         "--out",
         type=str,
@@ -291,10 +315,11 @@ def main(argv=None):
         if best is None:
             print(f"seed {seed}: no local edit at any scale", flush=True)
             continue
-        delta, scale, loc, eval_seed, cof, mode = best
+        reduction, scale, motion0, motion, delta, loc, eval_seed, cof = best
         print(
-            f"seed {seed}: best delta {delta:+.3f} @ scale {scale}, "
-            f"IoU {loc:.3f}, inv_seed {eval_seed}, cof {cof}, mode {mode}",
+            f"seed {seed}: best motion reduction {reduction:+.1%} @ scale "
+            f"{scale} (motion {motion0:.4f}->{motion:.4f}), delta "
+            f"{delta:+.3f}, IoU {loc:.3f}, inv_seed {eval_seed}, cof {cof}",
             flush=True,
         )
         flat = {}
@@ -308,19 +333,22 @@ def main(argv=None):
             eval_seed=np.int64(eval_seed),
             scale=np.float32(scale),
             cof=np.float32(cof),
-            noise_mode=np.str_(mode),
+            noise_mode=np.str_("replay"),
+            achieved_motion0=np.float32(motion0),
+            achieved_motion=np.float32(motion),
+            achieved_reduction=np.float32(reduction),
             achieved_delta=np.float32(delta),
             achieved_iou=np.float32(loc),
             **flat,
         )
-        if overall is None or delta > overall[0]:
-            overall = (delta, payload)
-        if delta >= args.min_delta and loc >= args.min_iou:
+        if overall is None or reduction > overall[0]:
+            overall = (reduction, payload)
+        if reduction >= args.min_reduction and loc >= args.min_iou:
             break
-    if overall is None or overall[0] < args.min_delta:
-        got = "none" if overall is None else f"{overall[0]:+.3f}"
+    if overall is None or overall[0] < args.min_reduction:
+        got = "none" if overall is None else f"{overall[0]:+.1%}"
         print(
-            f"NO instance met min_delta={args.min_delta} (best {got})",
+            f"NO instance met min_reduction={args.min_reduction} (best {got})",
             file=sys.stderr,
         )
         return 1
@@ -356,7 +384,7 @@ def _engine_from_parts(ema, dec, half_range, middle):
             compute_dtype="float32",
         ),
         diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=2,
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=5,
                         feat_store_dtype="float32"),
         fit=FitConfig(points_size=10_000, batch_points=2_000),
         plane_channels=PLANE_CH,
