@@ -136,6 +136,13 @@ class EditConfig:
     # (edit/drag.py), so only the stored guidance *targets* are quantized.
     # Toy/CPU-exactness configs pin "float32" explicitly.
     feat_store_dtype: str = "bfloat16"  # "float32" | "bfloat16"
+    # ddpm_inversion backward pass: the per-step UNet evaluations are
+    # independent (core/diffusion.py replay identity), so they batch through
+    # the model `inversion_chunk` at a time. Any value is bit-identical
+    # (tests/test_engine.py::test_inversion_chunk_config_plumbing); the
+    # default is chosen by the on-chip sweep in tools/probe_invchunk.py
+    # (docs/PERF.md "Inversion chunk sweep").
+    inversion_chunk: int = 2
 
     @property
     def voxel_size(self) -> float:

@@ -655,9 +655,10 @@ class DragEngine:
         variances and variance_noise (reference: drag_utils.py:552-566)."""
         w_time = self.config.edit.w_time
         feat_dtype = jnp.dtype(self.config.edit.feat_store_dtype)
+        chunk = self.config.edit.inversion_chunk
         mf = self._model_fn_p(feat=True)
         fn = self._jit(
-            ("inversion", w_time, str(feat_dtype)),
+            ("inversion", w_time, str(feat_dtype), chunk),
             lambda: jax.jit(
                 lambda params, x, r: ddpm_inversion(
                     self.sched,
@@ -669,7 +670,7 @@ class DragEngine:
                         feat_dtype
                     ),
                     clip_denoised=self.config.diffusion.clip_denoised,
-                    chunk=2,
+                    chunk=chunk,
                 )
             ),
         )

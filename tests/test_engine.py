@@ -126,6 +126,26 @@ def test_latent_inversion_replay(engine):
     assert engine.mesh is not None
 
 
+def test_inversion_chunk_config_plumbing(engine):
+    """EditConfig.inversion_chunk reaches ddpm_inversion and any value
+    reproduces the default bit-exactly (the backward evaluations are
+    independent — core/diffusion.py replay identity)."""
+    x0 = engine.update_latent_params(seed=5)
+    engine.latent_inversion(jnp.asarray(x0), seed=9)
+    w_ref = np.asarray(engine.w)
+    vn_ref = np.asarray(engine.variance_noise)
+
+    cfg5 = dataclasses.replace(
+        TINY_PIPELINE,
+        edit=dataclasses.replace(TINY_PIPELINE.edit, inversion_chunk=5),
+    )
+    eng5 = DragEngine(cfg5, seed=0)
+    eng5.update_latent_params(seed=5)
+    eng5.latent_inversion(jnp.asarray(x0), seed=9)
+    np.testing.assert_array_equal(np.asarray(eng5.w), w_ref)
+    np.testing.assert_array_equal(np.asarray(eng5.variance_noise), vn_ref)
+
+
 def test_fit_real_shape_roundtrip(engine, tmp_path):
     """Fit a sphere mesh -> latent -> inversion; checks the full real-shape
     pipeline incl. the tri_feat.npy cache contract."""
