@@ -19,6 +19,12 @@ quantity, measured through the REAL engine product paths at full scale
                          follow-up inversion (reference: drag_utils.py:445-463)
 - ``phase_tflops``     — per-phase effective TF/s against the 141 TF/s
                          measured matmul ceiling (docs/PERF.md)
+- ``quality``          — BASELINE.md quantity (d): inversion-replay
+                         Chamfer/IoU, guided-drag motion-loss reduction,
+                         edit locality IoU — measured on the committed
+                         known-good toy instance by tools/bench_quality.py
+                         in a CPU subprocess (where its recorded numbers
+                         were validated; reference: meshProcess.py:18-105)
 
 Random weights (no assets in this environment) time identically to trained
 ones for every device path; to keep the HOST decode path honest too (random
@@ -240,6 +246,37 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
     }
 
 
+def bench_quality_subprocess(timeout_s: float = 1500.0) -> dict:
+    """Run tools/bench_quality.py on CPU in a subprocess and return its JSON
+    under ``quality`` (or the failure under ``quality_error``). A subprocess
+    keeps the chip session clean — only one process may hold the tunnel
+    chip, and mixing CPU jax.config flips into the bench process is fragile
+    (docs/PERF.md)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_quality.py"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # the script also forces cpu via jax.config
+    try:
+        r = subprocess.run(
+            [sys.executable, script],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=env,
+        )
+        if r.returncode != 0:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            return {"quality_error": f"rc={r.returncode}: {' '.join(tail)}"[:300]}
+        return {"quality": json.loads(r.stdout.strip().splitlines()[-1])}
+    except Exception as e:  # pragma: no cover - defensive: never cost BENCH
+        return {"quality_error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def _decode_flops(cfg) -> float:
     """MLP-head FLOPs of one dense 256^3 decode (ops/triplane.py: the
     per-voxel cost is sin/cos + 128-128-1 MLP; plane resize + Fourier
@@ -325,6 +362,7 @@ def main():
     product = {}
     if not os.environ.get("ISHAPE_BENCH_FAST"):
         product = bench_product_paths(flops_fwd)
+        product.update(bench_quality_subprocess())
 
     # A100 eager-PyTorch fp16 estimate (see module docstring for derivation)
     a100_peak = 312e12

@@ -7,6 +7,7 @@ inversion, replay drag, fit, phase table) on CPU with the tiny preset.
 """
 
 import numpy as np
+import pytest
 
 from ishapediting_tpu.config import preset
 
@@ -37,3 +38,19 @@ def test_bench_product_paths_tiny():
         # tiny-scale TF/s rounds to 0.0 at one decimal; finiteness and
         # non-negativity are the structural contract
         assert np.isfinite(pt[key]) and pt[key] >= 0, key
+
+
+@pytest.mark.slow
+def test_bench_quality_subprocess():
+    """The quality block the driver bench embeds: the CPU subprocess must
+    return the BASELINE.md quantity-(d) metrics from the committed gate
+    asset, with inversion replay near-perfect and guidance effective."""
+    import bench
+
+    out = bench.bench_quality_subprocess()
+    assert "quality" in out, out.get("quality_error")
+    q = out["quality"]
+    assert q["inversion_replay_cd"] < 1e-3
+    assert q["inversion_replay_iou"] > 0.98
+    assert q["motion_loss_reduction"] >= 0.5 * q["recorded_reduction"]
+    assert q["edit_locality_iou"] >= 0.5
