@@ -350,10 +350,66 @@ class DragEngine:
                 ),
             )
             latent = fn(self.unet_params, latent, jax.random.PRNGKey(1234), t_start=t)
-        grid = self.decode_latent_grid(latent)
-        mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
+        mesh = None
+        if self._march_on_device():
+            mesh = self._decode_mesh_device(latent)  # None on cap overflow
+        if mesh is None:
+            grid = self.decode_latent_grid(latent)
+            mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
         if smooth > 0:
             mesh = mesh.filter_smooth_simple(smooth)
+        return mesh
+
+    def _march_on_device(self) -> bool:
+        """Device marching keeps the occupancy grid in HBM and ships only
+        the count-sized triangle payload — a large win wherever host<->device
+        bandwidth is the bottleneck (docs/PERF.md "Harness quirk"). The host
+        path stays the float64 reference on CPU."""
+        impl = os.environ.get("ISHAPE_MARCH_IMPL", "auto")
+        if impl == "device":
+            return True
+        if impl == "host":
+            return False
+        return jax.default_backend() != "cpu"
+
+    def _decode_mesh_device(self, latent: jnp.ndarray) -> Optional[TriMesh]:
+        """Decode + marching tetrahedra in ONE device program: normalized
+        latent -> occupancy grid (stays in HBM) -> compacted welded-edge
+        triangle payload; host only assembles the mesh. Returns None if a
+        fixed capacity overflowed (caller falls back to the host path)."""
+        from ishapediting_tpu.ops.marching import (
+            assemble_mesh,
+            default_capacities,
+            marching_tets_device,
+        )
+
+        res = self.config.edit.shape_resolution
+        max_cells, max_tris = default_capacities(res)
+
+        def build():
+            def run(dec, lat, half_range, middle):
+                planes = latent_to_planes(lat, half_range, middle)
+                grid = decode_grid(dec, planes, res=res)
+                return marching_tets_device(
+                    grid, 0.0, max_cells=max_cells, max_tris=max_tris
+                )
+
+            return jax.jit(run)
+
+        fn = self._jit(("decode_march", res, max_cells, max_tris), build)
+        out = fn(self.decoder_params, latent, self.half_range, self.middle)
+        n_cells = int(out["n_cells"])
+        n_tris = int(out["n_tris"])
+        if n_cells > max_cells or n_tris > max_tris:
+            return None
+        if n_tris == 0:
+            return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        mesh = assemble_mesh(
+            np.asarray(out["keys"][:n_tris]),
+            np.asarray(out["tvals"][:n_tris]),
+            res,
+        )
+        mesh.vertices = mesh.vertices / res * 2.0 - 1.0
         return mesh
 
     def _finish_steps_fn(self, params, latent, rng, *, t_start):

@@ -1,0 +1,270 @@
+"""Marching tetrahedra ON DEVICE (pure jax, fixed-capacity, jit-able).
+
+The host pipeline (geometry/marching.py) needs the full occupancy grid on
+the host — 33 MB at 256^3 even as fp16, which the tunneled backend fetches
+at ~28 MB/s (docs/PERF.md "Harness quirk"). This module runs the same
+6-tetrahedra decomposition on the accelerator over the grid *where it was
+decoded*, and ships only the compacted triangle soup: per-triangle int32
+edge keys + interpolation parameters, count-sized (a few MB). The host then
+welds vertices by edge key (exact integer dedup) and assembles the TriMesh.
+
+Dynamic shapes are handled TPU-natively with static capacities:
+``jnp.nonzero(..., size=K)`` compacts active cells and triangle slots into
+fixed-size buffers; actual counts come back with the payload and the caller
+falls back to the host path if a capacity overflows (never silently).
+
+Semantics match geometry/marching.py (same case tables — imported from it —
+same interpolation formula, same np.gradient orientation rule incl. the
+one-sided border stencil) up to f32-vs-f64 rounding; parity is pinned by
+tests/test_marching_device.py.
+
+Reference behavior replaced: mcubes.marching_cubes on a host-fetched grid
+(reference: visualize.py:76-105).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ishapediting_tpu.geometry.marching import _CASES, _CORNERS, _TET_EDGES, _TETS
+from ishapediting_tpu.geometry.mesh import TriMesh
+
+# ---------------------------------------------------------------------------
+# Static case tables in dense-array form (built from the host module's
+# tables so there is one source of truth for the decomposition).
+# ---------------------------------------------------------------------------
+
+_NTRI = np.zeros(16, np.int32)
+_CASE_TRI = np.zeros((16, 2, 3), np.int32)  # local tet-edge ids, 0-padded
+for _code, _tris in _CASES.items():
+    _NTRI[_code] = len(_tris)
+    for _s, _tri in enumerate(_tris):
+        _CASE_TRI[_code, _s] = _tri
+
+_CORNER_FLAT_WEIGHTS = None  # computed per-res below
+
+
+def _deltas_for_res(res: int) -> np.ndarray:
+    """Sorted distinct positive flat-index deltas between tet-edge endpoint
+    corners (<= 7 values, so a 4-bit rank packs into the int32 edge key)."""
+    deltas = set()
+    for tet in _TETS:
+        for la, lb in _TET_EDGES:
+            da = _CORNERS[tet[la]]
+            db = _CORNERS[tet[lb]]
+            d = (db - da) @ np.array([res * res, res, 1], np.int64)
+            deltas.add(int(abs(d)))
+    out = np.array(sorted(deltas), np.int64)
+    assert len(out) <= 16 and out[0] > 0
+    return out
+
+
+def default_capacities(res: int) -> Tuple[int, int]:
+    """(max_cells, max_tris). Realistic surfaces activate <1% of cells
+    (measured ~0.7% at the bench's 1.5%-inside calibration); 1/32 ~ 3.1%
+    gives >4x margin. Overflow is detected and falls back, never truncates."""
+    max_cells = max(res**3 // 32, 8192)
+    return max_cells, 3 * max_cells
+
+
+def marching_tets_device(
+    grid: jnp.ndarray,
+    iso: float = 0.0,
+    *,
+    max_cells: int,
+    max_tris: int,
+) -> dict:
+    """Jit-able marching tetrahedra over a dense [R, R, R] device grid.
+
+    Returns fixed-capacity buffers plus actual counts:
+      keys   [max_tris, 3] int32 — per-corner edge key ``lo * 16 + delta_rank``
+      tvals  [max_tris, 3] f32   — interpolation parameter along lo -> hi
+      n_cells, n_tris            — actual counts (overflow check on host)
+    Triangle corners are already wound outward (np.gradient rule).
+    """
+    r = grid.shape[0]
+    assert grid.shape == (r, r, r)
+    gridf = grid.astype(jnp.float32).reshape(-1)
+    inside = (gridf > iso).reshape(r, r, r)
+
+    # -- active cells -------------------------------------------------------
+    occ = inside.astype(jnp.uint8)
+    s = jnp.zeros((r - 1, r - 1, r - 1), jnp.uint8)
+    for dx, dy, dz in _CORNERS:
+        s = s + occ[dx : dx + r - 1, dy : dy + r - 1, dz : dz + r - 1]
+    active = (s > 0) & (s < 8)
+    n_cells = jnp.sum(active, dtype=jnp.int32)
+    cell_ids = jnp.nonzero(active.reshape(-1), size=max_cells, fill_value=0)[0]
+    valid_cell = jnp.arange(max_cells, dtype=jnp.int32) < n_cells
+
+    c1 = (r - 1) * (r - 1)
+    ci = cell_ids // c1
+    cj = (cell_ids // (r - 1)) % (r - 1)
+    ck = cell_ids % (r - 1)
+    # flat GRID ids of the 8 cube corners, [K, 8]
+    corner_off = jnp.asarray(
+        _CORNERS @ np.array([r * r, r, 1], np.int64), jnp.int32
+    )
+    base_flat = ci * (r * r) + cj * r + ck
+    corner_flat = base_flat[:, None] + corner_off[None, :]
+    vals = gridf[corner_flat]  # [K, 8] f32
+    ins = vals > iso
+
+    # -- per-tet triangle candidates ----------------------------------------
+    ntri_t = jnp.asarray(_NTRI)
+    case_tri_t = jnp.asarray(_CASE_TRI)  # [16, 2, 3]
+    tet_edges_t = jnp.asarray(_TET_EDGES.astype(np.int32))  # [6, 2]
+    lo_parts, hi_parts, valid_parts = [], [], []
+    for tet in _TETS:
+        code = (
+            ins[:, tet[0]].astype(jnp.int32)
+            + ins[:, tet[1]] * 2
+            + ins[:, tet[2]] * 4
+            + ins[:, tet[3]] * 8
+        )
+        edges = case_tri_t[code]  # [K, 2, 3] local tet-edge ids
+        la = tet_edges_t[edges, 0]  # [K, 2, 3] local tet corner 0..3
+        lb = tet_edges_t[edges, 1]
+        tet_arr = jnp.asarray(np.array(tet, np.int32))
+        ca = tet_arr[la]  # [K, 2, 3] cube corner 0..7
+        cb = tet_arr[lb]
+        k = corner_flat.shape[0]
+        fa = jnp.take_along_axis(corner_flat, ca.reshape(k, 6), axis=1).reshape(
+            k, 2, 3
+        )
+        fb = jnp.take_along_axis(corner_flat, cb.reshape(k, 6), axis=1).reshape(
+            k, 2, 3
+        )
+        lo_parts.append(jnp.minimum(fa, fb))
+        hi_parts.append(jnp.maximum(fa, fb))
+        slot_valid = jnp.arange(2, dtype=jnp.int32)[None, :] < ntri_t[code][:, None]
+        valid_parts.append(slot_valid & valid_cell[:, None])
+
+    lo = jnp.concatenate(lo_parts, axis=0).reshape(-1, 3)  # [6K*2, 3]
+    hi = jnp.concatenate(hi_parts, axis=0).reshape(-1, 3)
+    valid = jnp.concatenate(valid_parts, axis=0).reshape(-1)
+
+    # -- compact triangles ----------------------------------------------------
+    n_tris = jnp.sum(valid, dtype=jnp.int32)
+    tri_idx = jnp.nonzero(valid, size=max_tris, fill_value=0)[0]
+    lo_c = lo[tri_idx]  # [T, 3]
+    hi_c = hi[tri_idx]
+
+    # -- interpolation + positions -------------------------------------------
+    v1 = gridf[lo_c]
+    v2 = gridf[hi_c]
+    denom = v2 - v1
+    t = jnp.where(
+        jnp.abs(denom) > 1e-30,
+        (iso - v1) / jnp.where(denom == 0, 1.0, denom),
+        0.5,
+    )
+    t = jnp.clip(t, 0.0, 1.0)
+
+    def unflat(f):
+        return jnp.stack(
+            [f // (r * r), (f // r) % r, f % r], axis=-1
+        ).astype(jnp.float32)
+
+    p1 = unflat(lo_c)  # [T, 3, 3]
+    p2 = unflat(hi_c)
+    pos = p1 + t[..., None] * (p2 - p1)
+
+    # -- orientation: np.gradient central differences (one-sided at borders) --
+    centroid = pos.mean(axis=1)  # [T, 3]
+    idx = jnp.clip(jnp.round(centroid).astype(jnp.int32), 0, r - 1)
+    grads = []
+    strides = (r * r, r, 1)
+    flat_idx = idx[:, 0] * (r * r) + idx[:, 1] * r + idx[:, 2]
+    for a in range(3):
+        up = jnp.minimum(idx[:, a] + 1, r - 1)
+        dn = jnp.maximum(idx[:, a] - 1, 0)
+        f_up = gridf[flat_idx + (up - idx[:, a]) * strides[a]]
+        f_dn = gridf[flat_idx + (dn - idx[:, a]) * strides[a]]
+        grads.append((f_up - f_dn) / jnp.maximum(up - dn, 1).astype(jnp.float32))
+    grad = jnp.stack(grads, axis=-1)  # [T, 3]
+    normal = jnp.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    flip = jnp.einsum("ij,ij->i", normal, grad) > 0
+
+    # -- pack edge keys, apply winding ----------------------------------------
+    deltas = jnp.asarray(_deltas_for_res(r).astype(np.int32))
+    drank = jnp.searchsorted(deltas, hi_c - lo_c).astype(jnp.int32)
+    keys = lo_c * 16 + drank  # lo < r^3 = 2^24, rank < 16 -> fits int32
+    keys = jnp.where(flip[:, None], keys[:, jnp.array([0, 2, 1])], keys)
+    t = jnp.where(flip[:, None], t[:, jnp.array([0, 2, 1])], t)
+
+    return {"keys": keys, "tvals": t, "n_cells": n_cells, "n_tris": n_tris}
+
+
+def assemble_mesh(
+    keys: np.ndarray, tvals: np.ndarray, res: int
+) -> TriMesh:
+    """Host-side weld + vertex build from count-sized kernel output.
+
+    Vertices are deduped by exact integer edge key (the device computes t
+    identically for every duplicate of an edge), matching the host path's
+    edge-id weld. Vertex coordinates are in voxel-index units, like
+    marching_tetrahedra."""
+    keys = np.asarray(keys, np.int64).reshape(-1)
+    tvals = np.asarray(tvals, np.float64).reshape(-1)
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    tv = np.empty(len(uniq), np.float64)
+    tv[inverse] = tvals  # duplicates carry identical t
+    lo = uniq >> 4
+    delta = _deltas_for_res(res)[uniq & 15]
+    hi = lo + delta
+
+    def unflat(f):
+        return np.stack(
+            [f // (res * res), (f // res) % res, f % res], axis=1
+        ).astype(np.float64)
+
+    p1 = unflat(lo)
+    p2 = unflat(hi)
+    vertices = p1 + tv[:, None] * (p2 - p1)
+    triangles = inverse.reshape(-1, 3)
+    return TriMesh(vertices, triangles).remove_degenerate_triangles()
+
+
+def device_grid_to_mesh(
+    grid: jnp.ndarray,
+    iso: float = 0.0,
+    to_unit: bool = True,
+    max_cells: Optional[int] = None,
+    max_tris: Optional[int] = None,
+    _jit_cache: dict = {},
+) -> Optional[TriMesh]:
+    """Convenience wrapper: run the device kernel on ``grid``, fetch the
+    count-sized payload, weld on host. Returns None on capacity overflow
+    (caller falls back to the host path). Engine callers fuse the kernel
+    into their own decode program instead; this wrapper serves tests,
+    geometry utilities, and the auto-select path in grid_to_mesh."""
+    r = int(grid.shape[0])
+    mc, mt = default_capacities(r)
+    max_cells = max_cells or mc
+    max_tris = max_tris or mt
+    key = (r, iso, max_cells, max_tris, str(grid.dtype))
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            lambda g: marching_tets_device(
+                g, iso, max_cells=max_cells, max_tris=max_tris
+            )
+        )
+    out = _jit_cache[key](grid)
+    n_cells = int(out["n_cells"])
+    n_tris = int(out["n_tris"])
+    if n_cells > max_cells or n_tris > max_tris:
+        return None
+    if n_tris == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    keys = np.asarray(out["keys"][:n_tris])
+    tvals = np.asarray(out["tvals"][:n_tris])
+    mesh = assemble_mesh(keys, tvals, r)
+    if to_unit:
+        mesh.vertices = mesh.vertices / r * 2.0 - 1.0
+    return mesh

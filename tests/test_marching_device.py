@@ -1,0 +1,127 @@
+"""Device marching tetrahedra (ops/marching.py) vs the host reference
+(geometry/marching.py): same decomposition, same interpolation, same
+orientation rule — parity up to f32-vs-f64 rounding."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ishapediting_tpu.geometry.marching import grid_to_mesh, marching_tetrahedra
+from ishapediting_tpu.ops.marching import (
+    assemble_mesh,
+    default_capacities,
+    device_grid_to_mesh,
+)
+
+
+def _blob_grid(res, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(-1, 1, res, dtype=np.float32)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    g = 0.4 - np.sqrt(X**2 + 1.2 * Y**2 + 0.8 * Z**2)
+    g = g + 0.06 * np.sin(5 * X + rng.uniform(0, 1)) * np.cos(4 * Y)
+    return g.astype(np.float32)
+
+
+def _tri_signatures(mesh):
+    """Per-triangle signature: centroid + area (winding-free) — robust to
+    vertex indexing/order differences."""
+    v, t = mesh.vertices, mesh.triangles
+    cent = v[t].mean(axis=1)
+    area = 0.5 * np.linalg.norm(
+        np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]]), axis=1
+    )
+    return np.concatenate([cent, area[:, None]], axis=1)
+
+
+def _assert_same_triangles(mesh_a, mesh_b, atol):
+    """Symmetric nearest-neighbor match of triangle signatures within atol.
+    (Sort-based row comparison is unstable for nearly-equal floats, and a
+    strict bijection check trips on genuinely duplicate signatures from
+    symmetric grids — equal counts + both directions matching is the
+    robust multiset-equality proxy.)"""
+    from scipy.spatial import cKDTree
+
+    sa, sb = _tri_signatures(mesh_a), _tri_signatures(mesh_b)
+    assert len(sa) == len(sb)
+    d_ab = cKDTree(sb).query(sa)[0]
+    d_ba = cKDTree(sa).query(sb)[0]
+    assert d_ab.max() < atol, f"max a->b signature distance {d_ab.max():.2e}"
+    assert d_ba.max() < atol, f"max b->a signature distance {d_ba.max():.2e}"
+
+
+def _signed_volume(mesh):
+    v, t = mesh.vertices, mesh.triangles
+    return float(np.einsum("ij,ij->", v[t[:, 0]], np.cross(v[t[:, 1]], v[t[:, 2]]))) / 6.0
+
+
+@pytest.mark.parametrize("res", [24, 48])
+def test_device_matches_host(res):
+    grid = _blob_grid(res)
+    host = marching_tetrahedra(grid.astype(np.float64), iso=0.0)
+    dev = device_grid_to_mesh(jnp.asarray(grid), iso=0.0, to_unit=False)
+    assert dev is not None
+    assert len(dev.triangles) == len(host.triangles)
+    assert len(dev.vertices) == len(host.vertices)
+    _assert_same_triangles(dev, host, atol=2e-4)
+    # identical winding convention -> signed volumes agree (not just |V|)
+    assert _signed_volume(dev) == pytest.approx(_signed_volume(host), rel=1e-3)
+
+
+def test_device_matches_host_unit_mapping():
+    grid = _blob_grid(32, seed=3)
+    host = grid_to_mesh(grid, iso=0.0, to_unit=True)
+    dev = device_grid_to_mesh(jnp.asarray(grid), iso=0.0, to_unit=True)
+    _assert_same_triangles(dev, host, atol=2e-4)
+
+
+def test_overflow_returns_none():
+    grid = _blob_grid(32)
+    assert (
+        device_grid_to_mesh(jnp.asarray(grid), max_cells=16, max_tris=48)
+        is None
+    )
+
+
+def test_empty_grid():
+    grid = -np.ones((16, 16, 16), np.float32)
+    mesh = device_grid_to_mesh(jnp.asarray(grid))
+    assert mesh is not None and len(mesh.triangles) == 0
+
+
+def test_assemble_welds_shared_edges():
+    grid = _blob_grid(24)
+    dev = device_grid_to_mesh(jnp.asarray(grid), to_unit=False)
+    # every interior edge shared by exactly 2 triangles -> watertight weld
+    t = dev.triangles
+    edges = np.sort(
+        np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]]), axis=1
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert counts.max() <= 2
+
+
+def test_engine_device_path(monkeypatch):
+    """DragEngine.get_mesh through the fused decode+march program matches
+    the host path on the tiny pipeline."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "host")
+    host_mesh = engine.get_mesh(latent, smooth=0)
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    dev_mesh = engine.get_mesh(latent, smooth=0)
+    assert len(dev_mesh.triangles) == len(host_mesh.triangles)
+    if len(host_mesh.triangles):
+        _assert_same_triangles(dev_mesh, host_mesh, atol=5e-4)
+
+
+def test_default_capacities_margin():
+    mc, mt = default_capacities(256)
+    assert mc >= 500_000 and mt == 3 * mc
