@@ -27,6 +27,7 @@ from __future__ import annotations
 import copy
 import os
 import threading
+import warnings
 from functools import partial
 from typing import Callable, Dict, Optional
 
@@ -170,8 +171,6 @@ class DragEngine:
         if info.stats_dir:
             stats = load_stats(info.stats_dir)
         elif allow_identity_stats:
-            import warnings
-
             warnings.warn(
                 f"no statistics/ under {main_path}: using identity triplane "
                 "normalization — decoded occupancies will be wrong unless the "
@@ -352,7 +351,14 @@ class DragEngine:
             latent = fn(self.unet_params, latent, jax.random.PRNGKey(1234), t_start=t)
         mesh = None
         if self._march_on_device():
-            mesh = self._decode_mesh_device(latent)  # None on cap overflow
+            try:
+                mesh = self._decode_mesh_device(latent)  # None on cap overflow
+            except Exception as exc:  # e.g. backend lowering gap — fall back
+                warnings.warn(
+                    f"device marching failed ({type(exc).__name__}: {exc}); "
+                    "falling back to the host path for this engine"
+                )
+                self._device_march_broken = True
         if mesh is None:
             grid = self.decode_latent_grid(latent)
             mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
@@ -368,7 +374,7 @@ class DragEngine:
         impl = os.environ.get("ISHAPE_MARCH_IMPL", "auto")
         if impl == "device":
             return True
-        if impl == "host":
+        if impl == "host" or getattr(self, "_device_march_broken", False):
             return False
         return jax.default_backend() != "cpu"
 

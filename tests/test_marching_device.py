@@ -122,6 +122,34 @@ def test_engine_device_path(monkeypatch):
         _assert_same_triangles(dev_mesh, host_mesh, atol=5e-4)
 
 
+def test_engine_device_failure_falls_back_loudly(monkeypatch):
+    """A backend lowering failure in the device program warns once and
+    pins the engine to the host path (sticky, per-engine)."""
+    import warnings
+
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    monkeypatch.setattr(
+        DragEngine,
+        "_decode_mesh_device",
+        lambda self, latent: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh = engine.get_mesh(latent, smooth=0)
+    assert any("device marching failed" in str(w.message) for w in caught)
+    assert len(mesh.triangles) > 0
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "auto")
+    assert engine._device_march_broken and not engine._march_on_device()
+
+
 def test_default_capacities_margin():
     mc, mt = default_capacities(256)
     assert mc >= 500_000 and mt == 3 * mc
