@@ -241,9 +241,9 @@ def device_grid_to_mesh(
 ) -> Optional[TriMesh]:
     """Convenience wrapper: run the device kernel on ``grid``, fetch the
     count-sized payload, weld on host. Returns None on capacity overflow
-    (caller falls back to the host path). Engine callers fuse the kernel
-    into their own decode program instead; this wrapper serves tests,
-    geometry utilities, and the auto-select path in grid_to_mesh."""
+    (caller falls back to the host path). The engine fuses the kernel
+    into its own decode program instead (DragEngine._decode_mesh_device);
+    this wrapper serves tests and standalone device grids."""
     r = int(grid.shape[0])
     mc, mt = default_capacities(r)
     max_cells = max_cells or mc
