@@ -190,17 +190,14 @@ def main(argv=None):
         os.makedirs(f"{args.save_dir}/objects", exist_ok=True)
         for idx in range(samples.shape[0]):
             print(f"Decoding triplane {idx}...")
-            planes = latent_to_planes(
+            # get_mesh auto-selects device marching off-CPU (the grid stays
+            # in HBM; only the count-sized triangle payload is fetched) and
+            # falls back to the host grid fetch + marching otherwise.
+            mesh_out = engine.get_mesh(
                 jnp.asarray(samples[idx][None]),
-                engine.half_range,
-                engine.middle,
+                smooth=0,
+                res=args.shape_resolution,
             )
-            grid = np.asarray(
-                decode_grid(
-                    engine.decoder_params, planes, res=args.shape_resolution
-                )
-            )
-            mesh_out = grid_to_mesh(grid, to_unit=True)
             mesh_out.write(f"{args.save_dir}/objects/{idx}.obj")
         print("Done!")
         print("decode time:", round(time.time() - t2, 4))

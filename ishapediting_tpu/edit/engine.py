@@ -294,7 +294,9 @@ class DragEngine:
     # Latent -> mesh (reference: get_mesh, drag_utils.py:282-300)
     # ------------------------------------------------------------------
 
-    def decode_latent_grid(self, latent: jnp.ndarray) -> np.ndarray:
+    def decode_latent_grid(
+        self, latent: jnp.ndarray, res: Optional[int] = None
+    ) -> np.ndarray:
         """Normalized latent -> dense occupancy logits [res,res,res].
 
         The fp16 grid (33 MB at 256^3) is fetched host-side; on the tunneled
@@ -302,7 +304,7 @@ class DragEngine:
         ``ISHAPE_FETCH_SLABS`` > 1 the fetch is split into that many row
         slabs pulled by concurrent threads (identical bytes; the tunnel
         multiplexes streams — measured in tools/probe_fetch.py)."""
-        res = self.config.edit.shape_resolution
+        res = res or self.config.edit.shape_resolution
         planes = latent_to_planes(
             jnp.asarray(latent, jnp.float32).reshape((1,) + self.config.latent_shape),
             self.half_range,
@@ -330,10 +332,15 @@ class DragEngine:
         return host.astype(np.float32)
 
     def get_mesh(
-        self, latent: Optional[jnp.ndarray] = None, t: int = 0, smooth: int = 10
+        self,
+        latent: Optional[jnp.ndarray] = None,
+        t: int = 0,
+        smooth: int = 10,
+        res: Optional[int] = None,
     ) -> TriMesh:
         """Finish any remaining ``t`` sampling steps, decode the occupancy
-        grid, extract + smooth the mesh."""
+        grid, extract + smooth the mesh. ``res`` overrides the config's
+        shape_resolution for this call."""
         if latent is None:
             latent = jax.random.normal(
                 jax.random.PRNGKey(0), (1,) + self.config.latent_shape
@@ -352,7 +359,23 @@ class DragEngine:
         mesh = None
         if self._march_on_device():
             try:
-                mesh = self._decode_mesh_device(latent)  # None on cap overflow
+                mesh = self._decode_mesh_device(latent, res=res)  # None on overflow
+                if mesh is None:
+                    # Capacity overflow is data-dependent (a fragmented field
+                    # activates far more cells than a surface). One overflow
+                    # may be a pathological latent; two in a row means the
+                    # workload itself doesn't fit — stop paying the wasted
+                    # device attempt (ISHAPE_MARCH_IMPL=device re-forces it).
+                    self._march_overflows = getattr(self, "_march_overflows", 0) + 1
+                    if self._march_overflows >= 2:
+                        warnings.warn(
+                            "device marching capacity overflowed twice; "
+                            "sticking to the host path for this engine "
+                            "(set ISHAPE_MARCH_IMPL=device to force)"
+                        )
+                        self._device_march_broken = True
+                else:
+                    self._march_overflows = 0
             except Exception as exc:  # e.g. backend lowering gap — fall back
                 warnings.warn(
                     f"device marching failed ({type(exc).__name__}: {exc}); "
@@ -360,7 +383,7 @@ class DragEngine:
                 )
                 self._device_march_broken = True
         if mesh is None:
-            grid = self.decode_latent_grid(latent)
+            grid = self.decode_latent_grid(latent, res=res)
             mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
         if smooth > 0:
             mesh = mesh.filter_smooth_simple(smooth)
@@ -378,7 +401,9 @@ class DragEngine:
             return False
         return jax.default_backend() != "cpu"
 
-    def _decode_mesh_device(self, latent: jnp.ndarray) -> Optional[TriMesh]:
+    def _decode_mesh_device(
+        self, latent: jnp.ndarray, res: Optional[int] = None
+    ) -> Optional[TriMesh]:
         """Decode + marching tetrahedra in ONE device program: normalized
         latent -> occupancy grid (stays in HBM) -> compacted welded-edge
         triangle payload; host only assembles the mesh. Returns None if a
@@ -389,7 +414,7 @@ class DragEngine:
             marching_tets_device,
         )
 
-        res = self.config.edit.shape_resolution
+        res = res or self.config.edit.shape_resolution
         max_cells, max_tris = default_capacities(res)
 
         def build():

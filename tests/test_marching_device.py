@@ -135,7 +135,7 @@ def test_engine_device_failure_falls_back_loudly(monkeypatch):
     monkeypatch.setattr(
         DragEngine,
         "_decode_mesh_device",
-        lambda self, latent: (_ for _ in ()).throw(RuntimeError("boom")),
+        lambda self, latent, res=None: (_ for _ in ()).throw(RuntimeError("boom")),
     )
     engine = DragEngine(TINY_PIPELINE, seed=0)
     latent = jax.random.normal(
@@ -148,6 +148,37 @@ def test_engine_device_failure_falls_back_loudly(monkeypatch):
     assert len(mesh.triangles) > 0
     monkeypatch.setenv("ISHAPE_MARCH_IMPL", "auto")
     assert engine._device_march_broken and not engine._march_on_device()
+
+
+def test_engine_overflow_sticks_after_two(monkeypatch):
+    """Capacity overflow (None) twice in a row pins the engine to the host
+    path with a warning; a single overflow does not."""
+    import warnings
+
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    monkeypatch.setattr(
+        DragEngine, "_decode_mesh_device", lambda self, latent, res=None: None
+    )
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        engine.get_mesh(latent, smooth=0)
+    assert not getattr(engine, "_device_march_broken", False)
+    assert not any("overflowed twice" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh = engine.get_mesh(latent, smooth=0)
+    assert any("overflowed twice" in str(w.message) for w in caught)
+    assert engine._device_march_broken and len(mesh.triangles) >= 0
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "auto")
+    assert not engine._march_on_device()
 
 
 def test_default_capacities_margin():
