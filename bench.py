@@ -19,6 +19,12 @@ quantity, measured through the REAL engine product paths at full scale
                          follow-up inversion (reference: drag_utils.py:445-463)
 - ``phase_tflops``     — per-phase effective TF/s against the 141 TF/s
                          measured matmul ceiling (docs/PERF.md)
+- ``mesh_tail_*``      — device-side marching tetrahedra (grid stays in
+                         HBM, count-sized payload fetch) vs the host path
+                         (33 MB fp16 grid fetch + native marching) on a
+                         realistic smooth surface (the engine walls use the
+                         host path: the random-weight field is fragmented
+                         beyond any realistic marching capacity)
 - ``quality``          — BASELINE.md quantity (d): inversion-replay
                          Chamfer/IoU, guided-drag motion-loss reduction,
                          edit locality IoU — measured on the committed
@@ -148,6 +154,13 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
     if cfg is None:
         cfg = PipelineConfig()  # 200-step respacing, w_time=170, 256^3 decode
     engine = DragEngine(cfg, seed=0, remat=remat)
+    # Pin the engine walls to the host mesh path: the random-weight decoder's
+    # field is fragmented (~3.5x any realistic active-cell count), so device
+    # marching would overflow its capacity on every call and the walls would
+    # pay a wasted device attempt before falling back. The device-vs-host
+    # mesh tail is measured separately below on a realistic smooth surface
+    # (``mesh_tail_*``), which is the workload trained decoders produce.
+    engine._device_march_broken = True
     latent = jax.random.normal(
         jax.random.PRNGKey(1), (1,) + cfg.latent_shape, jnp.float32
     )
@@ -243,6 +256,58 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
         "grid_fetch_s": round(fetch_s, 2),
         "mesh_verts": int(n_verts),
         "phase_tflops": phase_tflops,
+        **bench_mesh_tail(cfg.edit.shape_resolution),
+    }
+
+
+def bench_mesh_tail(res: int) -> dict:
+    """Device vs host mesh tail (marching + payload transfer) on a REALISTIC
+    surface — a sphere SDF whose active-cell count (~0.1% of cells) matches
+    what trained decoders produce. The engine walls above run the host path
+    because the random-weight field is fragmented beyond any realistic
+    marching capacity; this is the honest measurement of what
+    ``DragEngine._decode_mesh_device`` saves real users (docs/PERF.md
+    "Round 3 removes the grid fetch entirely")."""
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+    from ishapediting_tpu.ops.marching import (
+        assemble_mesh,
+        default_capacities,
+        marching_tets_device,
+    )
+
+    max_cells, max_tris = default_capacities(res)
+
+    def sphere_grid():
+        c = jnp.linspace(-1.0, 1.0, res)
+        x, y, z = jnp.meshgrid(c, c, c, indexing="ij")
+        return 0.4 - jnp.sqrt(x * x + y * y + z * z)
+
+    march = jax.jit(
+        lambda: marching_tets_device(
+            sphere_grid(), 0.0, max_cells=max_cells, max_tris=max_tris
+        )
+    )
+    int(march()["n_tris"])  # warm (compile + first run)
+    t0 = time.perf_counter()
+    out = march()
+    n_tris = int(out["n_tris"])
+    assemble_mesh(
+        np.asarray(out["keys"][:n_tris]), np.asarray(out["tvals"][:n_tris]), res
+    )
+    device_s = time.perf_counter() - t0
+
+    grid_fn = jax.jit(lambda: sphere_grid().astype(jnp.float16))
+    _fetch_scalar(grid_fn()[:1, :1, :1])  # warm
+    t0 = time.perf_counter()
+    mesh_host = grid_to_mesh(
+        np.asarray(grid_fn()).astype(np.float32), iso=0.0, to_unit=True
+    )
+    host_s = time.perf_counter() - t0
+    return {
+        "mesh_tail_device_s": round(device_s, 3),
+        "mesh_tail_host_s": round(host_s, 3),
+        "mesh_tail_tris": int(n_tris),
+        "mesh_tail_tris_host": int(len(mesh_host.triangles)),
     }
 
 

@@ -33,6 +33,10 @@ def test_bench_product_paths_tiny():
         assert key in out and np.isfinite(out[key]) and out[key] >= 0, key
     # the calibrated decoder must actually produce a surface
     assert out["mesh_verts"] > 0
+    # mesh-tail micro-bench: device and host marching agree on the sphere
+    assert out["mesh_tail_tris"] > 0
+    assert out["mesh_tail_tris"] == out["mesh_tail_tris_host"]
+    assert out["mesh_tail_device_s"] >= 0 and out["mesh_tail_host_s"] >= 0
     pt = out["phase_tflops"]
     for key in ("drag_step", "inversion", "fit_step", "decode_grid"):
         # tiny-scale TF/s rounds to 0.0 at one decimal; finiteness and
