@@ -133,7 +133,7 @@ def _fetch_scalar(x):
 
 
 def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
-                        cfg=None, remat: bool = True):
+                        cfg=None, remat: bool = True, deadline: float = None):
     """Time the real engine edit/inversion/fit paths at full scale.
 
     Returns a dict of wall-clocks + a per-phase effective-TF/s table vs the
@@ -143,6 +143,13 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
     ``cfg`` defaults to the published full-scale pipeline; tests inject the
     tiny preset to exercise this exact code path on CPU.
+
+    ``deadline`` (absolute ``time.perf_counter()`` value): a soft budget —
+    checked between phases; when exceeded, the remaining phases are skipped
+    and the partial dict carries ``product_truncated``. This protects the
+    driver-captured BENCH record: a hard external timeout mid-bench would
+    lose the whole JSON line, a truncated product block loses only the tail
+    phases (compiles on a cold backend can take minutes each).
     """
     import tempfile
 
@@ -189,17 +196,41 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
         "b": engine.decoder_params["dense3"]["b"] - q,
     }
 
+    out = {
+        "decode_device_s": round(decode_device_s, 3),
+        "grid_fetch_s": round(fetch_s, 2),
+    }
+    phase_tflops = {
+        "ceiling_measured_matmul": ceiling_tflops,
+        "decode_grid": round(_decode_flops(cfg) / decode_device_s / 1e12, 1),
+    }
+    n_steps = engine.sched.num_timesteps  # 200
+    w_time = cfg.edit.w_time  # 170
+
+    def over(phase: str) -> bool:
+        if deadline is not None and time.perf_counter() > deadline:
+            out["product_truncated"] = phase
+            out["phase_tflops"] = phase_tflops
+            return True
+        return False
+
     # --- inversion (incl. mesh decode), cold + warm ----------------------
+    if over("inversion"):
+        return out
     t0 = time.perf_counter()
     engine.latent_inversion(latent, seed=2)
-    inversion_cold = time.perf_counter() - t0
+    out["inversion_wall_cold_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     engine.latent_inversion(latent, seed=3)
     inversion_wall = time.perf_counter() - t0
+    out["inversion_wall_s"] = round(inversion_wall, 2)
     mesh0 = engine.mesh0
     n_verts = len(mesh0.vertices)
+    out["mesh_verts"] = int(n_verts)
 
     # --- drag edit: 170 guided fwd+bwd steps (incl. mesh decode) ---------
+    if over("drag"):
+        return out
     if n_verts:
         handle = mesh0.vertices[np.argmax(mesh0.vertices[:, 0])].astype(
             np.float32
@@ -209,55 +240,48 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
     target = handle + np.array([0.15, 0.0, 0.0], np.float32)
     t0 = time.perf_counter()
     engine.drag_edit(handle[None], target[None], seed=4, noise_mode="replay")
-    edit_cold = time.perf_counter() - t0
+    out["edit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     engine.drag_edit(handle[None], target[None], seed=5, noise_mode="replay")
     edit_wall = time.perf_counter() - t0
+    out["edit_wall_s"] = round(edit_wall, 2)
 
     # --- mesh-only wall (shared tail of both paths above) ----------------
     t0 = time.perf_counter()
     engine.get_mesh(latent)
     mesh_wall = time.perf_counter() - t0
-
-    # --- real-shape fit: 200 guided steps + follow-up inversion ----------
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
-        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=6)
-        fit_cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=7)
-        fit_wall = time.perf_counter() - t0
-
-    # --- per-phase effective TF/s vs the matmul ceiling ------------------
+    out["mesh_decode_wall_s"] = round(mesh_wall, 2)
     # drag/fit steps run fwd+bwd through the UNet (~3x fwd FLOPs); the
     # inversion backward is 170 independent forwards; device time excludes
     # the shared mesh tail. fit also re-runs the 170-step inversion.
-    n_steps = engine.sched.num_timesteps  # 200
-    w_time = cfg.edit.w_time  # 170
-    drag_dev = max(edit_wall - mesh_wall, 1e-6)
-    inv_dev = max(inversion_wall - mesh_wall, 1e-6)
-    fit_dev = max(fit_wall - inversion_wall, 1e-6)
-    phase_tflops = {
-        "ceiling_measured_matmul": ceiling_tflops,
-        "drag_step": round(3.0 * flops_fwd * w_time / drag_dev / 1e12, 1),
-        "inversion": round(flops_fwd * w_time / inv_dev / 1e12, 1),
-        "fit_step": round(3.0 * flops_fwd * n_steps / fit_dev / 1e12, 1),
-        "decode_grid": round(_decode_flops(cfg) / decode_device_s / 1e12, 1),
-    }
-    return {
-        "edit_wall_s": round(edit_wall, 2),
-        "edit_wall_cold_s": round(edit_cold, 2),
-        "inversion_wall_s": round(inversion_wall, 2),
-        "inversion_wall_cold_s": round(inversion_cold, 2),
-        "fit_wall_s": round(fit_wall, 2),
-        "fit_wall_cold_s": round(fit_cold, 2),
-        "mesh_decode_wall_s": round(mesh_wall, 2),
-        "decode_device_s": round(decode_device_s, 3),
-        "grid_fetch_s": round(fetch_s, 2),
-        "mesh_verts": int(n_verts),
-        "phase_tflops": phase_tflops,
-        **bench_mesh_tail(cfg.edit.shape_resolution),
-    }
+    phase_tflops["drag_step"] = round(
+        3.0 * flops_fwd * w_time / max(edit_wall - mesh_wall, 1e-6) / 1e12, 1
+    )
+    phase_tflops["inversion"] = round(
+        flops_fwd * w_time / max(inversion_wall - mesh_wall, 1e-6) / 1e12, 1
+    )
+
+    # --- real-shape fit: 200 guided steps + follow-up inversion ----------
+    if over("fit"):
+        return out
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=6)
+        out["fit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=7)
+        fit_wall = time.perf_counter() - t0
+    out["fit_wall_s"] = round(fit_wall, 2)
+    phase_tflops["fit_step"] = round(
+        3.0 * flops_fwd * n_steps / max(fit_wall - inversion_wall, 1e-6) / 1e12,
+        1,
+    )
+
+    out["phase_tflops"] = phase_tflops
+    if over("mesh_tail"):
+        return out
+    out.update(bench_mesh_tail(cfg.edit.shape_resolution))
+    return out
 
 
 def bench_mesh_tail(res: int) -> dict:
@@ -353,6 +377,7 @@ def _decode_flops(cfg) -> float:
 
 
 def main():
+    bench_t0 = time.perf_counter()
     # Persistent compile cache — but NOT on the axon tunnel runtime, where
     # cache serialization of the large programs is measured ACTIVELY harmful
     # (init 7.8 s -> 171.7 s with the cache dir set; docs/PERF.md
@@ -426,8 +451,20 @@ def main():
     # paths (ISHAPE_BENCH_FAST=1 skips for quick sampling-only iteration)
     product = {}
     if not os.environ.get("ISHAPE_BENCH_FAST"):
-        product = bench_product_paths(flops_fwd)
-        product.update(bench_quality_subprocess())
+        # Soft wall-clock budget for the WHOLE bench process: the driver
+        # captures stdout under an external timeout we don't control, and a
+        # hard kill mid-product would lose the entire JSON line. Phases that
+        # don't fit are skipped (``product_truncated`` names the first one).
+        budget = float(os.environ.get("ISHAPE_BENCH_BUDGET_S", "2100"))
+        deadline = bench_t0 + budget
+        product = bench_product_paths(flops_fwd, deadline=deadline)
+        remaining = deadline - time.perf_counter()
+        if remaining > 60:
+            product.update(
+                bench_quality_subprocess(timeout_s=min(1500.0, remaining))
+            )
+        else:
+            product["quality_error"] = "skipped: bench budget exhausted"
 
     # A100 eager-PyTorch fp16 estimate (see module docstring for derivation)
     a100_peak = 312e12

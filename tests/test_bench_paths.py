@@ -44,6 +44,23 @@ def test_bench_product_paths_tiny():
         assert np.isfinite(pt[key]) and pt[key] >= 0, key
 
 
+def test_bench_product_paths_deadline_truncates():
+    """An exhausted budget skips the remaining phases but still returns a
+    well-formed partial dict (protects the driver BENCH record from a hard
+    external timeout)."""
+    import time
+
+    import bench
+
+    cfg = preset("tiny")
+    out = bench.bench_product_paths(
+        flops_fwd=1e9, cfg=cfg, remat=False, deadline=time.perf_counter() - 1.0
+    )
+    assert out["product_truncated"] == "inversion"
+    assert "inversion_wall_s" not in out and "edit_wall_s" not in out
+    assert "decode_grid" in out["phase_tflops"]
+
+
 @pytest.mark.slow
 def test_bench_quality_subprocess():
     """The quality block the driver bench embeds: the CPU subprocess must

@@ -123,6 +123,54 @@ def test_crop_images_rgba_batch(tmp_path):
     assert out.shape == (20, 20, 4)
 
 
+def test_image_utils_each_downsample_jpg(tmp_path):
+    """Per-image bbox crop, downsample, and png->jpg white-background
+    conversion (reference: meshProcess.py:181-252)."""
+    from PIL import Image
+
+    from ishapediting_tpu.utils.images import (
+        crop_images_rgba_each,
+        down_sample,
+        png_to_jpg,
+    )
+
+    for i in range(2):
+        a = np.zeros((64, 64, 4), np.uint8)
+        a[10 + i * 5 : 30, 20:40] = [255, 0, 0, 255]
+        Image.fromarray(a).save(tmp_path / f"im{i}.png")
+
+    crop_images_rgba_each(str(tmp_path))  # per-image bbox, not the union
+    out0 = np.asarray(Image.open(tmp_path / "png" / "im0.png"))
+    out1 = np.asarray(Image.open(tmp_path / "png" / "im1.png"))
+    assert out0.shape == (20, 20, 4) and out1.shape == (15, 20, 4)
+    crop_images_rgba_each(str(tmp_path), save_format="jpg")
+    assert (tmp_path / "jpg" / "im0.jpg").exists()
+    with pytest.raises(NotImplementedError):
+        crop_images_rgba_each(str(tmp_path), save_format="bmp")
+
+    down_sample(str(tmp_path))
+    assert Image.open(tmp_path / "DownSample" / "im0.png").size == (32, 32)
+
+    png_to_jpg(str(tmp_path))
+    j = np.asarray(Image.open(tmp_path / "im0.jpg"))
+    assert j.shape == (64, 64, 3)
+    assert (j[0, 0] > 250).all()  # alpha=0 region -> white background
+
+
+def test_noise2shape_compat():
+    """compat.noise2shape returns unnormalized NHWC triplanes and handles a
+    num_samples that is not a batch multiple (reference:
+    image_sample.py:138-201)."""
+    from ishapediting_tpu.compat import noise2shape
+    from ishapediting_tpu.config import preset
+    from ishapediting_tpu.edit.engine import DragEngine
+
+    engine = DragEngine(preset("tiny"), seed=0)
+    out = noise2shape(num_samples=3, batch_size=2, engine=engine)
+    assert out.shape == (3,) + engine.config.latent_shape
+    assert np.isfinite(out).all()
+
+
 def test_sample_sharded_ddpm_path():
     from ishapediting_tpu.core.schedule import make_schedule
     from ishapediting_tpu.parallel.mesh import make_mesh
