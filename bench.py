@@ -315,7 +315,7 @@ def bench_mesh_tail(res: int) -> dict:
     t0 = time.perf_counter()
     out = march()
     n_tris = int(out["n_tris"])
-    assemble_mesh(
+    mesh_dev = assemble_mesh(
         np.asarray(out["keys"][:n_tris]), np.asarray(out["tvals"][:n_tris]), res
     )
     device_s = time.perf_counter() - t0
@@ -327,10 +327,12 @@ def bench_mesh_tail(res: int) -> dict:
         np.asarray(grid_fn()).astype(np.float32), iso=0.0, to_unit=True
     )
     host_s = time.perf_counter() - t0
+    # count both sides POST-assembly (assemble_mesh/grid_to_mesh each drop
+    # degenerate triangles; the raw payload count would not be comparable)
     return {
         "mesh_tail_device_s": round(device_s, 3),
         "mesh_tail_host_s": round(host_s, 3),
-        "mesh_tail_tris": int(n_tris),
+        "mesh_tail_tris": int(len(mesh_dev.triangles)),
         "mesh_tail_tris_host": int(len(mesh_host.triangles)),
     }
 

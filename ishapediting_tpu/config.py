@@ -139,9 +139,9 @@ class EditConfig:
     # ddpm_inversion backward pass: the per-step UNet evaluations are
     # independent (core/diffusion.py replay identity), so they batch through
     # the model `inversion_chunk` at a time. Any value is bit-identical
-    # (tests/test_engine.py::test_inversion_chunk_config_plumbing); the
-    # default is chosen by the on-chip sweep in tools/probe_invchunk.py
-    # (docs/PERF.md "Inversion chunk sweep").
+    # (tests/test_engine.py::test_inversion_chunk_config_plumbing); sweep
+    # with tools/probe_invchunk.py — measured numbers in docs/PERF.md
+    # "Inversion chunk sweep".
     inversion_chunk: int = 2
 
     @property

@@ -133,6 +133,11 @@ class DragEngine:
         self.edited_latent: Optional[np.ndarray] = None  # last drag result
         # per-step guidance losses of the last drag_edit ({"motion","mask"})
         self.last_drag_losses: Optional[Dict[str, np.ndarray]] = None
+        # device-marching health: set when the fused decode+march program
+        # fails to lower or overflows capacity twice in a row; pins the
+        # engine to the host path until clear_params()
+        self._device_march_broken = False
+        self._march_overflows = 0
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
@@ -357,7 +362,11 @@ class DragEngine:
             )
             latent = fn(self.unet_params, latent, jax.random.PRNGKey(1234), t_start=t)
         mesh = None
-        if self._march_on_device():
+        res_eff = res or self.config.edit.shape_resolution
+        # res > 512 would overflow the int32 edge-key packing
+        # (ops/marching.py: keys = corner*16 + rank, max (512^3-1)*16+15 =
+        # INT32_MAX); the float64 host path has no such bound.
+        if res_eff <= 512 and self._march_on_device():
             try:
                 mesh = self._decode_mesh_device(latent, res=res)  # None on overflow
                 if mesh is None:
@@ -366,7 +375,7 @@ class DragEngine:
                     # may be a pathological latent; two in a row means the
                     # workload itself doesn't fit — stop paying the wasted
                     # device attempt (ISHAPE_MARCH_IMPL=device re-forces it).
-                    self._march_overflows = getattr(self, "_march_overflows", 0) + 1
+                    self._march_overflows += 1
                     if self._march_overflows >= 2:
                         warnings.warn(
                             "device marching capacity overflowed twice; "
@@ -397,7 +406,7 @@ class DragEngine:
         impl = os.environ.get("ISHAPE_MARCH_IMPL", "auto")
         if impl == "device":
             return True
-        if impl == "host" or getattr(self, "_device_march_broken", False):
+        if impl == "host" or self._device_march_broken:
             return False
         return jax.default_backend() != "cpu"
 
@@ -791,6 +800,9 @@ class DragEngine:
         self.variances = None
         self.variance_noise = None
         self.last_drag_losses = None
+        # give device marching another chance on the next workload
+        self._device_march_broken = False
+        self._march_overflows = 0
 
     def reset_params(self) -> None:
         if self.mesh0 is not None:

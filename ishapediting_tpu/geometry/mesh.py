@@ -130,6 +130,10 @@ class TriMesh:
         v = self.vertices
         t = self.triangles
         n = len(v)
+        if number_of_iterations <= 0:
+            # copy: the returned mesh must never alias this one's arrays
+            # (>=1 iterations allocate fresh arrays via the matvec)
+            return TriMesh(v.copy(), t.copy())
         # directed edge list (both directions); CSR construction sums
         # duplicate entries, so resetting stored data to 1 afterwards
         # dedups shared edges without an explicit (slow) np.unique(axis=0).

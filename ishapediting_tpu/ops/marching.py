@@ -89,6 +89,12 @@ def marching_tets_device(
     """
     r = grid.shape[0]
     assert grid.shape == (r, r, r)
+    if r > 512:
+        raise ValueError(
+            f"marching_tets_device supports res <= 512 (got {r}): the int32 "
+            "edge-key packing (corner*16 + rank) reaches INT32_MAX exactly "
+            "at 512^3; use the host path (geometry.marching) beyond that"
+        )
     gridf = grid.astype(jnp.float32).reshape(-1)
     inside = (gridf > iso).reshape(r, r, r)
 
@@ -194,7 +200,10 @@ def marching_tets_device(
     # -- pack edge keys, apply winding ----------------------------------------
     deltas = jnp.asarray(_deltas_for_res(r).astype(np.int32))
     drank = jnp.searchsorted(deltas, hi_c - lo_c).astype(jnp.int32)
-    keys = lo_c * 16 + drank  # lo < r^3 = 2^24, rank < 16 -> fits int32
+    # max key = (r^3-1)*16 + 15, which is exactly INT32_MAX at r = 512;
+    # larger grids would silently wrap negative and weld unrelated edges
+    # (the res-512 bound is enforced at entry)
+    keys = lo_c * 16 + drank
     keys = jnp.where(flip[:, None], keys[:, jnp.array([0, 2, 1])], keys)
     t = jnp.where(flip[:, None], t[:, jnp.array([0, 2, 1])], t)
 

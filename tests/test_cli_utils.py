@@ -111,6 +111,30 @@ def test_generate_cli_save_intermediate(tmp_path):
     np.testing.assert_allclose(last, final, atol=1e-5)
 
 
+def test_save_intermediate_same_samples_as_plain_run(tmp_path):
+    """--save_intermediate hand-mirrors sample_sharded's rng derivation
+    (x_T from PRNGKey(seed+batch), loop rng from fold_in(key, 1)); this
+    pins the 'SAME samples as a plain run' guarantee so any future change
+    to either derivation fails loudly instead of silently dumping
+    intermediates of different samples."""
+    import ishapediting_tpu.cli.generate as gen
+
+    common = [
+        "--random_init", "--preset", "tiny",
+        "--num_samples", "2", "--batch_size", "2",
+        "--num_steps", "5", "--skip_decode", "--seed", "11",
+    ]
+    gen.main(common + ["--save_dir", str(tmp_path / "plain")])
+    gen.main(
+        common
+        + ["--save_intermediate", "4", "--save_dir", str(tmp_path / "snap")]
+    )
+    for obj in (0, 1):
+        a = np.load(tmp_path / "plain" / "triplanes" / f"{obj}.npy")
+        b = np.load(tmp_path / "snap" / "triplanes" / f"{obj}.npy")
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_snapshot_loop_matches_plain_loop():
     """p_sample_loop_snapshots must produce the same final sample as
     p_sample_loop under the same rng, and its snapshot buffer must hold the

@@ -181,6 +181,52 @@ def test_engine_overflow_sticks_after_two(monkeypatch):
     assert not engine._march_on_device()
 
 
+def test_res_above_512_rejected():
+    """res > 512 would overflow the int32 edge-key packing (max key is
+    exactly INT32_MAX at 512^3); the kernel must refuse, not corrupt."""
+    import jax
+
+    from ishapediting_tpu.ops.marching import marching_tets_device
+
+    spec = jax.ShapeDtypeStruct((513, 513, 513), jnp.float32)
+    with pytest.raises(ValueError, match="res <= 512"):
+        jax.eval_shape(
+            lambda g: marching_tets_device(g, 0.0, max_cells=8, max_tris=24),
+            spec,
+        )
+
+
+def test_engine_res_guard_skips_device_path(monkeypatch):
+    """get_mesh(res>512) must not attempt device marching even when forced
+    (the int32 key bound); it decodes through the host path instead."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+    import numpy as np
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    calls = []
+    monkeypatch.setattr(
+        DragEngine,
+        "_decode_mesh_device",
+        lambda self, latent, res=None: calls.append(res) or None,
+    )
+    # tiny fake grid so the host fallback doesn't actually decode 600^3
+    monkeypatch.setattr(
+        DragEngine,
+        "decode_latent_grid",
+        lambda self, latent, res=None: _blob_grid(16),
+    )
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    mesh = engine.get_mesh(latent, smooth=0, res=600)
+    assert calls == []  # device path never attempted
+    assert len(mesh.triangles) > 0
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "auto")
+
+
 def test_default_capacities_margin():
     mc, mt = default_capacities(256)
     assert mc >= 500_000 and mt == 3 * mc
