@@ -75,3 +75,58 @@ def test_bench_quality_subprocess():
     assert q["inversion_replay_iou"] > 0.98
     assert q["motion_loss_reduction"] >= 0.5 * q["recorded_reduction"]
     assert q["edit_locality_iou"] >= 0.5
+
+
+def test_backend_unavailable_predicate():
+    """The bench entrypoint re-execs ONLY on the tunnel backend-init outage
+    signature — a program error must surface immediately, not retry for
+    minutes under the driver's capture timeout."""
+    import bench
+
+    wedge = RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+        "setup/compile error (Unavailable)."
+    )
+    assert bench._backend_unavailable(wedge)
+    assert bench._backend_unavailable(
+        RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+    )
+    assert not bench._backend_unavailable(ValueError("shape mismatch"))
+    assert not bench._backend_unavailable(RuntimeError("INTERNAL: bad HLO"))
+
+
+def test_bench_guard_reexec_loop(tmp_path):
+    """The __main__ guard re-execs (fresh process) on the backend-outage
+    signature and gives up after 4 attempts — driven as a real subprocess
+    because os.execv replaces the process image."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "drive.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "def boom():\n"
+        "    raise RuntimeError(\n"
+        "        \"Unable to initialize backend 'axon': UNAVAILABLE: \"\n"
+        "        'TPU backend setup/compile error (Unavailable).')\n"
+        "bench.main = boom\n"
+        "bench._guarded_main()\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ISHAPE_BENCH_RETRY_WAIT_S"] = "0"
+    env.pop("ISHAPE_BENCH_ATTEMPT", None)
+    r = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert r.returncode != 0
+    assert r.stderr.count("re-exec") == 3
+    assert "attempt 3/4" in r.stderr
