@@ -134,9 +134,25 @@ def _fetch_scalar(x):
 
 def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
                         cfg=None, remat: bool = True, deadline: float = None):
+    """Fail-soft wrapper: a mid-bench failure (e.g. the tunnel dying after
+    the headline sampling metric was already measured) must not lose the
+    whole JSON line — return whatever was measured plus ``product_error``."""
+    out = {}
+    try:
+        _bench_product_paths(
+            out, flops_fwd, ceiling_tflops, cfg, remat, deadline
+        )
+    except Exception as exc:  # pragma: no cover - exercised via monkeypatch
+        out["product_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    return out
+
+
+def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
+                         cfg=None, remat: bool = True, deadline: float = None):
     """Time the real engine edit/inversion/fit paths at full scale.
 
-    Returns a dict of wall-clocks + a per-phase effective-TF/s table vs the
+    Mutates ``out`` in place (partial results survive an exception in the
+    wrapper above): wall-clocks + a per-phase effective-TF/s table vs the
     measured matmul ceiling. Random weights time identically to trained ones
     on every device path; the decoder bias is shifted post-init so the host
     decode path (fetch + marching + smoothing) sees a realistic surface.
@@ -196,14 +212,17 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
         "b": engine.decoder_params["dense3"]["b"] - q,
     }
 
-    out = {
-        "decode_device_s": round(decode_device_s, 3),
-        "grid_fetch_s": round(fetch_s, 2),
-    }
+    out.update(
+        decode_device_s=round(decode_device_s, 3),
+        grid_fetch_s=round(fetch_s, 2),
+    )
     phase_tflops = {
         "ceiling_measured_matmul": ceiling_tflops,
         "decode_grid": round(_decode_flops(cfg) / decode_device_s / 1e12, 1),
     }
+    # registered up front: the dict is mutated in place below, so partial
+    # phase numbers survive a mid-bench failure too
+    out["phase_tflops"] = phase_tflops
     n_steps = engine.sched.num_timesteps  # 200
     w_time = cfg.edit.w_time  # 170
 
@@ -216,7 +235,7 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
     # --- inversion (incl. mesh decode), cold + warm ----------------------
     if over("inversion"):
-        return out
+        return
     t0 = time.perf_counter()
     engine.latent_inversion(latent, seed=2)
     out["inversion_wall_cold_s"] = round(time.perf_counter() - t0, 2)
@@ -230,7 +249,7 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
     # --- drag edit: 170 guided fwd+bwd steps (incl. mesh decode) ---------
     if over("drag"):
-        return out
+        return
     if n_verts:
         handle = mesh0.vertices[np.argmax(mesh0.vertices[:, 0])].astype(
             np.float32
@@ -263,7 +282,7 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
     # --- real-shape fit: 200 guided steps + follow-up inversion ----------
     if over("fit"):
-        return out
+        return
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.perf_counter()
         engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=6)
@@ -279,9 +298,9 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
     out["phase_tflops"] = phase_tflops
     if over("mesh_tail"):
-        return out
+        return
     out.update(bench_mesh_tail(cfg.edit.shape_resolution))
-    return out
+    return
 
 
 def bench_mesh_tail(res: int) -> dict:

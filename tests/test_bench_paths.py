@@ -130,3 +130,17 @@ def test_bench_guard_reexec_loop(tmp_path):
     assert r.returncode != 0
     assert r.stderr.count("re-exec") == 3
     assert "attempt 3/4" in r.stderr
+
+
+def test_bench_product_paths_fail_soft(monkeypatch):
+    """A mid-bench failure returns partial results + product_error instead
+    of raising — protects the already-measured headline metric."""
+    import bench
+    import ishapediting_tpu.edit.engine as engine_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("tunnel died mid-bench")
+
+    monkeypatch.setattr(engine_mod, "DragEngine", boom)
+    out = bench.bench_product_paths(1e12)
+    assert out["product_error"].startswith("RuntimeError: tunnel died")
