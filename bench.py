@@ -320,30 +320,39 @@ def bench_mesh_tail(res: int) -> dict:
 
     max_cells, max_tris = default_capacities(res)
 
-    def sphere_grid():
-        c = jnp.linspace(-1.0, 1.0, res)
-        x, y, z = jnp.meshgrid(c, c, c, indexing="ij")
-        return 0.4 - jnp.sqrt(x * x + y * y + z * z)
+    # The grid is a jit ARGUMENT, not a closed-over constant: a nullary
+    # program invites XLA to constant-fold the whole SDF+marching subgraph
+    # (timing nothing) and bakes a res^3 constant into the executable — the
+    # same big-constant hazard CLAUDE.md flags for closed-over params.
+    c = jnp.linspace(-1.0, 1.0, res)
+    x, y, z = jnp.meshgrid(c, c, c, indexing="ij")
+    grid = 0.4 - jnp.sqrt(x * x + y * y + z * z)
 
     march = jax.jit(
-        lambda: marching_tets_device(
-            sphere_grid(), 0.0, max_cells=max_cells, max_tris=max_tris
+        lambda g: marching_tets_device(
+            g, 0.0, max_cells=max_cells, max_tris=max_tris
         )
     )
-    int(march()["n_tris"])  # warm (compile + first run)
+    int(march(grid)["n_tris"])  # warm (compile + first run)
     t0 = time.perf_counter()
-    out = march()
+    out = march(grid)
+    n_cells = int(out["n_cells"])
     n_tris = int(out["n_tris"])
+    if n_cells > max_cells or n_tris > max_tris:
+        # the payload buffers are truncated past capacity; a partial mesh
+        # would silently misreport the tail metrics (ops/marching.py:
+        # "overflow ... never truncates")
+        return {"mesh_tail_overflow": f"cells={n_cells} tris={n_tris}"}
     mesh_dev = assemble_mesh(
         np.asarray(out["keys"][:n_tris]), np.asarray(out["tvals"][:n_tris]), res
     )
     device_s = time.perf_counter() - t0
 
-    grid_fn = jax.jit(lambda: sphere_grid().astype(jnp.float16))
-    _fetch_scalar(grid_fn()[:1, :1, :1])  # warm
+    grid_fn = jax.jit(lambda g: g.astype(jnp.float16))
+    _fetch_scalar(grid_fn(grid)[:1, :1, :1])  # warm
     t0 = time.perf_counter()
     mesh_host = grid_to_mesh(
-        np.asarray(grid_fn()).astype(np.float32), iso=0.0, to_unit=True
+        np.asarray(grid_fn(grid)).astype(np.float32), iso=0.0, to_unit=True
     )
     host_s = time.perf_counter() - t0
     # count both sides POST-assembly (assemble_mesh/grid_to_mesh each drop
@@ -415,7 +424,11 @@ def main():
 
     if not axon_runtime():
         try:
-            jax.config.update("jax_compilation_cache_dir", "/tmp/ishape_jax_cache")
+            # host-keyed: XLA:CPU AOT entries from a different machine type
+            # can SIGILL (see __graft_entry__._cpu_cache_dir)
+            from __graft_entry__ import _cpu_cache_dir
+
+            jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
         except Exception:
             pass
     cfg = UNetConfig()  # published model, bf16 torso

@@ -183,12 +183,12 @@ def main(argv=None):
             seed=args.seed,
             progress_callback=lambda p: print(f"  progress {p:5.1%}", flush=True),
         )
-        losses = engine.last_drag_losses
-        if losses is not None and losses["motion"].size:
+        summary = engine.drag_loss_summary()
+        if summary is not None:
             print(
-                f"  motion loss {losses['motion'][0]:.4f} -> "
-                f"{losses['motion'][-1]:.4f}, mask loss "
-                f"{losses['mask'][-1]:.4f} (per-step guidance diagnostics)"
+                f"  motion loss {summary['motion_first']:.4f} -> "
+                f"{summary['motion_last']:.4f}, mask loss "
+                f"{summary['mask_last']:.4f} (per-step guidance diagnostics)"
             )
         out_path = os.path.join(args.out, f"edit{edit_id}.obj")
         mesh.write(out_path)

@@ -55,13 +55,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ishapediting_tpu.config import PipelineConfig, preset
-    from ishapediting_tpu.core.schedule import make_schedule
+    from ishapediting_tpu.config import preset
     from ishapediting_tpu.edit.engine import DragEngine
-    from ishapediting_tpu.edit.fit import latent_to_planes
-    from ishapediting_tpu.geometry.marching import grid_to_mesh
-    from ishapediting_tpu.models.unet import unet_apply
-    from ishapediting_tpu.ops.triplane import decode_grid
     from ishapediting_tpu.parallel.mesh import make_mesh
     from ishapediting_tpu.parallel.sampling import sample_sharded
 

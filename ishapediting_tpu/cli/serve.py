@@ -176,11 +176,11 @@ class EditServer:
             "triangles": int(len(mesh.triangles)),
             "stopped_early": not eng.train_flag,
         }
-        losses = eng.last_drag_losses
-        if losses is not None and losses["motion"].size:
+        summary = eng.drag_loss_summary()
+        if summary is not None:
             # per-step guidance diagnostics (edit/engine.py drag_edit)
-            resp["motion_loss_first"] = float(losses["motion"][0])
-            resp["motion_loss_last"] = float(losses["motion"][-1])
+            resp["motion_loss_first"] = summary["motion_first"]
+            resp["motion_loss_last"] = summary["motion_last"]
         return resp
 
     def _cmd_stop(self, req, emit):

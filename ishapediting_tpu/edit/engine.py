@@ -612,6 +612,19 @@ class DragEngine:
         self.mesh = self.get_mesh(img, t=stop_time)
         return self.mesh
 
+    def drag_loss_summary(self) -> Optional[Dict[str, float]]:
+        """First/last per-step guidance diagnostics of the most recent
+        ``drag_edit`` as plain floats, or None when none were recorded —
+        the single formatting source for the CLI/serve/GUI surfaces."""
+        losses = self.last_drag_losses
+        if losses is None or not losses["motion"].size:
+            return None
+        return {
+            "motion_first": float(losses["motion"][0]),
+            "motion_last": float(losses["motion"][-1]),
+            "mask_last": float(losses["mask"][-1]),
+        }
+
     def _drag_chunk_fn(
         self, params, img, ts, feats, variances, variance_noises, rng,
         problem, scale, cof, *, loss_type, noise_mode="resample",

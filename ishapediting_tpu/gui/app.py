@@ -303,11 +303,11 @@ class App:  # pragma: no cover - interactive
                 progress_callback=self._set_progress,
             )
             self.update_mesh(mesh, update_camera=False)
-            losses = self.engine.last_drag_losses
-            if losses is not None and losses["motion"].size:
+            summary = self.engine.drag_loss_summary()
+            if summary is not None:
                 self._set_status(
-                    f"edit done (motion loss {losses['motion'][0]:.3f} -> "
-                    f"{losses['motion'][-1]:.3f})"
+                    f"edit done (motion loss {summary['motion_first']:.3f} -> "
+                    f"{summary['motion_last']:.3f})"
                 )
             else:
                 self._set_status("edit done")

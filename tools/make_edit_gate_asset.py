@@ -27,11 +27,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+PLANE_RES, PLANE_CH = 16, 8
 
-def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
-    import jax
-    import jax.numpy as jnp
 
+def _toy_config():
+    """The toy pipeline config — the SINGLE source of truth shared by
+    build_toy_system (which records the asset's achieved numbers) and
+    _engine_from_parts (which tests/bench_quality reconstruct the engine
+    with). The committed .npz stores only weights, so any config drift
+    between the two would silently re-run a different pipeline than the
+    one whose numbers are stored."""
     from ishapediting_tpu.config import (
         DiffusionConfig,
         EditConfig,
@@ -39,9 +44,32 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
         PipelineConfig,
         UNetConfig,
     )
+
+    return PipelineConfig(
+        unet=UNetConfig(
+            image_size=PLANE_RES,
+            in_channels=3 * PLANE_CH,
+            model_channels=32,
+            out_channels=6 * PLANE_CH,
+            num_res_blocks=1,
+            attention_ds=(4,),
+            channel_mult=(1, 2),
+            num_head_channels=16,
+            dropout=0.0,
+            compute_dtype="float32",
+        ),
+        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
+        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=5,
+                        feat_store_dtype="float32"),
+        fit=FitConfig(points_size=10_000, batch_points=2_000),
+        plane_channels=PLANE_CH,
+    )
+
+
+def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
+    import jax
+
     from ishapediting_tpu.core.schedule import make_schedule
-    from ishapediting_tpu.edit.engine import DragEngine
-    from ishapediting_tpu.io.model_dir import TriplaneStats
     from ishapediting_tpu.models.unet import init_unet_params
     from ishapediting_tpu.train.decoder import train_decoder
     from ishapediting_tpu.train.loop import train
@@ -97,7 +125,6 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
             pts = np.concatenate([u, s] + bs, axis=0)
             yield obj, pts, occupancy(obj, pts)
 
-    PLANE_RES, PLANE_CH = 16, 8
     dec_params, bank = train_decoder(
         dec_batches(),
         num_objs=n,
@@ -118,28 +145,9 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
     std = flat.std(axis=(0, 1, 2))
     half_range = np.maximum(2.5 * std, 1e-6).astype(np.float32)
     middle = mean.astype(np.float32)
-    stats = TriplaneStats(half_range=half_range, middle=middle)
     latents = np.clip((flat - middle) / half_range, -1, 1)
 
-    cfg = PipelineConfig(
-        unet=UNetConfig(
-            image_size=PLANE_RES,
-            in_channels=3 * PLANE_CH,
-            model_channels=32,
-            out_channels=6 * PLANE_CH,
-            num_res_blocks=1,
-            attention_ds=(4,),
-            channel_mult=(1, 2),
-            num_head_channels=16,
-            dropout=0.0,
-            compute_dtype="float32",
-        ),
-        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=5,
-                        feat_store_dtype="float32"),
-        fit=FitConfig(points_size=10_000, batch_points=2_000),
-        plane_channels=PLANE_CH,
-    )
+    cfg = _toy_config()
     train_sched = make_schedule(100, "linear", "")
 
     def ddpm_batches():
@@ -157,13 +165,7 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
         log_every=max(ddpm_steps // 4, 1),
         ema_rate=0.999,
     )
-    engine = DragEngine(
-        cfg,
-        unet_params=state.ema_params,
-        decoder_params=dec_params,
-        stats=stats,
-        remat=False,
-    )
+    engine = _engine_from_parts(state.ema_params, dec_params, half_range, middle)
     return engine, latents, state.ema_params, dec_params, half_range, middle
 
 
@@ -359,38 +361,11 @@ def main(argv=None):
 
 
 def _engine_from_parts(ema, dec, half_range, middle):
-    from ishapediting_tpu.config import (
-        DiffusionConfig,
-        EditConfig,
-        FitConfig,
-        PipelineConfig,
-        UNetConfig,
-    )
     from ishapediting_tpu.edit.engine import DragEngine
     from ishapediting_tpu.io.model_dir import TriplaneStats
 
-    PLANE_RES, PLANE_CH = 16, 8
-    cfg = PipelineConfig(
-        unet=UNetConfig(
-            image_size=PLANE_RES,
-            in_channels=3 * PLANE_CH,
-            model_channels=32,
-            out_channels=6 * PLANE_CH,
-            num_res_blocks=1,
-            attention_ds=(4,),
-            channel_mult=(1, 2),
-            num_head_channels=16,
-            dropout=0.0,
-            compute_dtype="float32",
-        ),
-        diffusion=DiffusionConfig(base_steps=100, timestep_respacing="25"),
-        edit=EditConfig(w_time=12, feat_layer=1, shape_resolution=48, r1=5,
-                        feat_store_dtype="float32"),
-        fit=FitConfig(points_size=10_000, batch_points=2_000),
-        plane_channels=PLANE_CH,
-    )
     return DragEngine(
-        cfg,
+        _toy_config(),
         unet_params=ema,
         decoder_params=dec,
         stats=TriplaneStats(half_range=half_range, middle=middle),
