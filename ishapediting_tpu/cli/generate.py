@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_steps", type=int, default=256)
     p.add_argument("--use_ddim", action="store_true")
+    p.add_argument("--use_dpm", action="store_true",
+                   help="DPM-Solver++(2M): deterministic second-order ODE "
+                   "sampler — DDIM-N quality in roughly half the steps "
+                   "(framework extension; the reference has DDPM/DDIM only)")
     p.add_argument("--shape_resolution", type=int, default=256)
     p.add_argument("--save_dir", type=str, default="samples/out")
     p.add_argument("--seed", type=int, default=0)
@@ -60,7 +64,10 @@ def main(argv=None):
     from ishapediting_tpu.parallel.mesh import make_mesh
     from ishapediting_tpu.parallel.sampling import sample_sharded
 
-    config = preset(args.preset, args.num_steps, use_ddim=args.use_ddim)
+    # dpm uses the ddim-style uniform respacing for its timestep grid
+    config = preset(
+        args.preset, args.num_steps, use_ddim=args.use_ddim or args.use_dpm
+    )
 
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)
@@ -95,6 +102,11 @@ def main(argv=None):
         n = min(args.batch_size, remaining) if remaining >= usable else remaining
         n = max(n - n % usable, usable) if n >= usable else n
         m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
+        if snapshot_steps is not None and args.use_dpm:
+            raise SystemExit(
+                "--save_intermediate is not supported with --use_dpm "
+                "(snapshot loop covers ddpm/ddim only)"
+            )
         if snapshot_steps is not None:
             # snapshot path: single-device jitted loop with the scan-carried
             # [K, B, ...] snapshot buffer (core/diffusion.py). rng derivation
@@ -137,7 +149,8 @@ def main(argv=None):
                 batch_size=n,
                 latent_shape=config.latent_shape,
                 rng=jax.random.PRNGKey(args.seed + batch_idx),
-                use_ddim=args.use_ddim,
+                sampler="dpm" if args.use_dpm else
+                ("ddim" if args.use_ddim else "ddpm"),
                 clip_denoised=config.diffusion.clip_denoised,
                 model_fn_p=model_fn_p,
                 params=engine.unet_params,

@@ -330,6 +330,97 @@ def ddim_sample_loop(
     return x
 
 
+def _dpm_solver_tables(sched: Schedule):
+    """Per-iteration DPM-Solver++(2M) coefficients, derived host-side in
+    float64 from the respaced schedule (one-time, trace-time constants —
+    the TPU program only sees four [T] fp32 arrays).
+
+    Iteration i steps the carry from respaced time ``t_i = T-1-i`` toward
+    ``t_i - 1`` (final boundary: alpha_bar -> 1, i.e. sigma -> 0; the
+    data-prediction formulation stays finite there: a=0, b=1). Returns
+    ``(ts, a, b, m)`` with ``x_next = a*x + b*D`` and
+    ``D = (1+m)*x0_pred(t_i) - m*x0_pred(t_{i+1 prev iter})``."""
+    import numpy as np
+
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    acp_prev = np.asarray(sched.alphas_cumprod_prev, np.float64)
+    ts = np.arange(sched.num_timesteps - 1, -1, -1)
+    cur, nxt = acp[ts], acp_prev[ts]
+    # lambda = log(alpha/sigma) = 0.5*(log(acp) - log(1-acp)); +inf at the
+    # acp=1 boundary (log1p(-1) = -inf) — handled below, not an error
+    with np.errstate(divide="ignore"):
+        lam_cur = 0.5 * (np.log(cur) - np.log1p(-cur))
+        lam_nxt = 0.5 * (np.log(nxt) - np.log1p(-nxt))
+    h = lam_nxt - lam_cur  # per-step log-SNR increment; +inf on the last step
+    a = np.sqrt((1.0 - nxt) / (1.0 - cur))  # sigma_next / sigma_cur
+    b = -np.sqrt(nxt) * np.expm1(-h)  # alpha_next * (1 - e^{-h}); -> 1 at end
+    h_prev = np.concatenate([[np.nan], h[:-1]])
+    with np.errstate(invalid="ignore"):
+        m = h / (2.0 * h_prev)  # = 1/(2 r_i), r_i = h_{i-1}/h_i
+    # Uniform-t respacing makes the last pre-boundary log-SNR step much
+    # larger than its predecessor (h/h_prev up to ~5 on the linear schedule),
+    # and linearly extrapolating x0 across that span destroys convergence
+    # (measured on the analytic-posterior model: plain 2M error FLAT in N,
+    # capped 2M second-order — tests/test_dpm_solver.py). Cap the history
+    # weight at its uniform-lambda value 0.5: never extrapolate harder than
+    # an even grid would; the cap only binds on the pathological jumps.
+    m[0] = 0.0  # first step has no second history point -> first order
+    # "lower-order final": the boundary step has h=inf; a first-order update
+    # there is both required (m would be inf) and the standard stability
+    # choice for small step counts. Must be zeroed BEFORE the cap below or
+    # the cap would turn the infinite weight into a spurious 0.5.
+    m[~np.isfinite(m)] = 0.0
+    m = np.minimum(m, 0.5)
+    return (
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(a, jnp.float32),
+        jnp.asarray(b, jnp.float32),
+        jnp.asarray(m, jnp.float32),
+    )
+
+
+def dpm_solver_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    *,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) multistep sampler (Lu et al. 2022) — deterministic,
+    second-order in the log-SNR step: reaches DDIM-N quality in roughly N/3
+    model evaluations.
+
+    Extension beyond the reference sampler family (the reference ships only
+    DDPM/DDIM — gaussian_diffusion.py:534-847). TPU-native shape: the
+    exponential-integrator coefficients are derived host-side once
+    (``_dpm_solver_tables``) and the whole trajectory is a single
+    ``lax.scan`` carrying ``(x, prev_x0)`` in fp32. Same epsilon-model
+    contract and x0 clipping as every other sampler here; the learned-
+    variance half of the model output is ignored (the probability-flow ODE
+    has no noise injection). Second-order convergence is pinned by
+    tests/test_dpm_solver.py against an analytic-posterior Gaussian model
+    and the committed toy checkpoint."""
+    ts, a, b, m = _dpm_solver_tables(sched)
+
+    def step(carry, xs):
+        x, prev_x0 = carry
+        t, a_i, b_i, m_i = xs
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out, _ = model_fn(x, model_timesteps(sched, tb))
+        eps = out.astype(jnp.float32)[..., : x.shape[-1]]
+        x0 = predict_xstart_from_eps(sched, x, tb, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        d = (1.0 + m_i) * x0 - m_i * prev_x0
+        return (a_i * x + b_i * d, x0), None
+
+    x0_init = jnp.zeros_like(x_T, dtype=jnp.float32)  # unused: m[0] = 0
+    (x, _), _ = jax.lax.scan(
+        step, (x_T.astype(jnp.float32), x0_init), (ts, a, b, m)
+    )
+    return x
+
+
 def sample_loop_with_features(
     sched: Schedule,
     model_fn: ModelFn,

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ishapediting_tpu.core.diffusion import ddim_sample_loop, p_sample_loop
+from ishapediting_tpu.core.diffusion import (
+    ddim_sample_loop,
+    dpm_solver_sample_loop,
+    p_sample_loop,
+)
 from ishapediting_tpu.core.schedule import Schedule
 
 
@@ -29,6 +33,7 @@ def sample_sharded(
     latent_shape,
     rng: jax.Array,
     use_ddim: bool = False,
+    sampler: Optional[str] = None,
     eta: float = 0.0,
     clip_denoised: bool = True,
     x_T: Optional[jnp.ndarray] = None,
@@ -38,6 +43,12 @@ def sample_sharded(
     """Sample ``batch_size`` trajectories sharded over the mesh's data axis.
 
     Returns the full batch [B, H, W, C], fp32, replicated on host fetch.
+
+    ``sampler`` selects the trajectory loop: "ddpm" (ancestral), "ddim"
+    (deterministic, ``eta`` re-enables noise), or "dpm" (DPM-Solver++(2M),
+    deterministic second-order — DDIM-N quality in ~N/2-N/3 steps; pair it
+    with a ddim-style respacing). Defaults from the legacy ``use_ddim``
+    flag when None.
 
     Pass ``model_fn_p(params, x, t)`` + ``params`` for large models so the
     parameters enter the jit as arguments (closing over them via ``model_fn``
@@ -57,10 +68,18 @@ def sample_sharded(
     batch_sharding = NamedSharding(mesh, P("data"))
     x_T = jax.device_put(x_T, batch_sharding)
 
-    if use_ddim:
+    if sampler is None:
+        sampler = "ddim" if use_ddim else "ddpm"
+    if sampler == "ddim":
         loop = partial(ddim_sample_loop, eta=eta, clip_denoised=clip_denoised)
-    else:
+    elif sampler == "dpm":
+        loop = lambda sched_, mfn, x, r: dpm_solver_sample_loop(
+            sched_, mfn, x, clip_denoised=clip_denoised
+        )  # deterministic ODE solver: the rng argument is unused
+    elif sampler == "ddpm":
         loop = partial(p_sample_loop, clip_denoised=clip_denoised)
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (ddpm|ddim|dpm)")
 
     if model_fn_p is not None:
         fn = jax.jit(

@@ -1,0 +1,185 @@
+"""DPM-Solver++(2M) sampler (core/diffusion.py::dpm_solver_sample_loop).
+
+A framework extension beyond the reference sampler family (the reference
+ships DDPM/DDIM only — gaussian_diffusion.py:534-847). The claims under
+test:
+
+1. On a model whose epsilon is the EXACT Gaussian posterior score, the
+   solver converges to the dense-step probability-flow solution at second
+   order in the step count, while DDIM is first order.
+2. On the committed toy UNet checkpoint it is strictly more accurate than
+   DDIM at every step count (i.e. the same quality in fewer UNet calls).
+3. The acp=1 boundary step and the sharded sampling entry point are sound.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ishapediting_tpu.core.diffusion import (
+    ddim_sample_loop,
+    dpm_solver_sample_loop,
+)
+from ishapediting_tpu.core.schedule import make_schedule
+
+BASE = 1000
+MU, S = 0.3, 0.4
+
+
+def _gaussian_model(base_sched):
+    """Exact eps for x0 ~ N(MU, S^2): E[x0|x_t] in closed form."""
+    acp = jnp.asarray(np.asarray(base_sched.alphas_cumprod), jnp.float32)
+
+    def model_fn(x, t_model):
+        ab = acp[t_model.astype(jnp.int32)].reshape(
+            (-1,) + (1,) * (x.ndim - 1)
+        )
+        x32 = x.astype(jnp.float32)
+        x0 = (jnp.sqrt(ab) * S * S * x32 + (1 - ab) * MU) / (
+            ab * S * S + (1 - ab)
+        )
+        eps = (x32 - jnp.sqrt(ab) * x0) / jnp.sqrt(1 - ab)
+        # learned-variance channel layout (ignored by both samplers' means)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1), None
+
+    return model_fn
+
+
+@pytest.fixture(scope="module")
+def gaussian_errs():
+    full = make_schedule(BASE, "linear", "")
+    model_fn = _gaussian_model(full)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 2), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    ref = ddim_sample_loop(full, model_fn, x_T, rng, clip_denoised=False)
+
+    def err(x):
+        return float(jnp.sqrt(jnp.mean((x - ref) ** 2)))
+
+    out = {}
+    for n in (10, 20, 40):
+        sched = make_schedule(BASE, "linear", f"ddim{n}")
+        out[n] = (
+            err(ddim_sample_loop(sched, model_fn, x_T, rng, clip_denoised=False)),
+            err(dpm_solver_sample_loop(sched, model_fn, x_T, clip_denoised=False)),
+        )
+    return out
+
+
+def test_dpm_beats_ddim_on_analytic_model(gaussian_errs):
+    for n, (e_ddim, e_dpm) in gaussian_errs.items():
+        assert e_dpm < e_ddim, (n, e_ddim, e_dpm)
+    # the advantage must GROW with step count (higher order), reaching
+    # several-fold (measured: 2.2x / 6.6x / 29x at 10/20/40)
+    assert gaussian_errs[40][0] / gaussian_errs[40][1] > 5.0
+
+
+def test_dpm_second_order_convergence(gaussian_errs):
+    # halving the step size must cut the error at better than first order
+    # for dpm (measured order ~3 on this smooth model) and leave ddim at
+    # ~first order — the discriminating property of the 2M correction
+    dpm_order = np.log2(gaussian_errs[20][1] / gaussian_errs[40][1])
+    ddim_order = np.log2(gaussian_errs[20][0] / gaussian_errs[40][0])
+    assert dpm_order > 1.8, dpm_order
+    assert ddim_order < 1.4, ddim_order
+
+
+def test_dpm_boundary_step_finite():
+    """The final step runs at the acp=1 boundary (sigma=0, h=inf): the
+    data-prediction coefficients must stay finite (a=0, b=1, first order)."""
+    full = make_schedule(BASE, "linear", "")
+    model_fn = _gaussian_model(full)
+    x_T = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 2), jnp.float32)
+    for n in (2, 3):
+        sched = make_schedule(BASE, "linear", f"ddim{n}")
+        out = dpm_solver_sample_loop(sched, model_fn, x_T)
+        assert np.isfinite(np.asarray(out)).all()
+        assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-5  # clipped x0 at end
+
+
+def test_dpm_more_accurate_than_ddim_on_toy_unet(gate_engine_parts):
+    """Same x_T, same respacing grid: the dpm trajectory must land closer
+    to the dense-step DDIM solution than ddim does, on a REAL trained UNet
+    (the committed edit-gate checkpoint) — quality per UNet call is the
+    whole point of the sampler."""
+    from ishapediting_tpu.models.unet import unet_apply
+
+    cfg, ema = gate_engine_parts
+    model_fn = lambda x, t: unet_apply(cfg.unet, ema, x, t)
+    base = cfg.diffusion.base_steps
+    full = make_schedule(base, "linear", "")
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 24), jnp.float32)
+    rng = jax.random.PRNGKey(4)
+    ref = jax.jit(lambda x, r: ddim_sample_loop(full, model_fn, x, r))(x_T, rng)
+
+    def err(x):
+        return float(jnp.sqrt(jnp.mean((x - ref) ** 2)))
+
+    for n in (5, 10):
+        sched = make_schedule(base, "linear", f"ddim{n}")
+        e_ddim = err(
+            jax.jit(lambda x, r: ddim_sample_loop(sched, model_fn, x, r))(
+                x_T, rng
+            )
+        )
+        e_dpm = err(
+            jax.jit(lambda x: dpm_solver_sample_loop(sched, model_fn, x))(x_T)
+        )
+        # measured: 1.37x at n=5, 1.92x at n=10 (ratio grows with n)
+        assert e_dpm < e_ddim, (n, e_ddim, e_dpm)
+
+
+@pytest.fixture(scope="module")
+def gate_engine_parts():
+    import os
+
+    asset = os.path.join(os.path.dirname(__file__), "assets", "edit_gate.npz")
+    if not os.path.exists(asset):
+        pytest.skip("edit_gate.npz asset not built")
+    from tools.make_edit_gate_asset import _toy_config
+
+    npz = np.load(asset)
+    ema = {}
+    for key in npz.files:
+        if not key.startswith("ema::"):
+            continue
+        node = ema
+        parts = key.split("::")[1:]
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(npz[key])
+    return _toy_config(), ema
+
+
+def test_sample_sharded_dpm():
+    """The sharded sampling entry point accepts sampler='dpm' and produces
+    finite, batch-consistent output over the virtual data mesh."""
+    from ishapediting_tpu.parallel.mesh import make_mesh
+    from ishapediting_tpu.parallel.sampling import sample_sharded
+
+    full = make_schedule(BASE, "linear", "")
+    model_fn = _gaussian_model(full)
+    sched = make_schedule(BASE, "linear", "ddim5")
+    mesh = make_mesh(min(4, len(jax.devices())))
+    out = sample_sharded(
+        sched,
+        model_fn,
+        mesh,
+        batch_size=4,
+        latent_shape=(4, 4, 2),
+        rng=jax.random.PRNGKey(5),
+        sampler="dpm",
+    )
+    assert out.shape == (4, 4, 4, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+        sample_sharded(
+            sched,
+            model_fn,
+            mesh,
+            batch_size=4,
+            latent_shape=(4, 4, 2),
+            rng=jax.random.PRNGKey(5),
+            sampler="euler",
+        )
