@@ -490,6 +490,44 @@ def main():
     flops_fwd = unet_flops_per_sample(cfg)
     chip_tflops_eff = flops_fwd * DDIM_STEPS * BATCH / best / 1e12
 
+    # DPM-Solver++(2M) at 25 steps: on every measured model this sampler is
+    # MORE accurate than DDIM-50 against the dense-step solution (order 2
+    # vs 1 — tests/test_dpm_solver.py, docs/PERF.md), so its throughput is
+    # the framework's honest samples/s at >= headline quality. Kept in
+    # detail; the headline stays DDIM-50 for baseline comparability.
+    from ishapediting_tpu.core.diffusion import dpm_solver_sample_loop
+
+    dpm_detail = {}
+    try:
+        dpm_steps = 25
+        sched_dpm = make_schedule(1000, "linear", f"ddim{dpm_steps}")
+
+        def loop_dpm(params, x):
+            model_fn = lambda a, b: unet_apply(cfg, params, a, b)
+            return dpm_solver_sample_loop(sched_dpm, model_fn, x)
+
+        fn_dpm = jax.jit(loop_dpm)
+        t0 = time.perf_counter()
+        out_dpm = fn_dpm(params, x_T)
+        float(np.asarray(jnp.sum(out_dpm)))
+        dpm_compile_s = time.perf_counter() - t0
+        dpm_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_dpm = fn_dpm(params, x_T)
+            float(np.asarray(jnp.sum(out_dpm)))
+            dpm_times.append(time.perf_counter() - t0)
+        assert np.isfinite(np.asarray(out_dpm)).all()
+        dpm_detail = {
+            "dpm25_samples_per_sec": round(BATCH / min(dpm_times), 4),
+            "dpm25_compile_s": round(dpm_compile_s, 1),
+            "dpm25_note": "DPM-Solver++(2M), 25 steps: more accurate "
+            "than DDIM-50 on every measured model (order-2 solver; "
+            "tests/test_dpm_solver.py) — samples/s at >= headline quality",
+        }
+    except Exception as exc:  # never cost the headline JSON line
+        dpm_detail = {"dpm25_error": f"{type(exc).__name__}: {exc}"[:300]}
+
     # BASELINE.md's other measurable quantities, through the real engine
     # paths (ISHAPE_BENCH_FAST=1 skips for quick sampling-only iteration)
     product = {}
@@ -531,6 +569,7 @@ def main():
                     "wall_s_per_batch": round(best, 4),
                     "wall_s_per_batch_median": round(median, 4),
                     "chip_tflops_effective": round(chip_tflops_eff, 1),
+                    **dpm_detail,
                     "unet_tflops_fwd_per_sample": round(flops_fwd / 1e12, 3),
                     "conv_impl": _resolved_conv_impl(),
                     "a100_baseline": {
