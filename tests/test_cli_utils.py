@@ -184,3 +184,29 @@ def test_generate_cli_tiny_default_steps(tmp_path):
         "--save_dir", str(tmp_path),
     ])
     assert os.path.exists(tmp_path / "triplanes" / "0.npy")
+
+
+def test_generate_cli_use_dpm(tmp_path):
+    """--use_dpm routes sampling through dpm_solver_sample_loop (ddim-style
+    respacing grid) and still writes the triplane contract; combining it
+    with --save_intermediate is rejected loudly (the snapshot loop covers
+    ddpm/ddim only)."""
+    import pytest
+
+    import ishapediting_tpu.cli.generate as gen
+
+    gen.main([
+        "--random_init", "--preset", "tiny",
+        "--num_samples", "1", "--batch_size", "1",
+        "--num_steps", "5", "--use_dpm", "--skip_decode",
+        "--save_dir", str(tmp_path),
+    ])
+    tri = np.load(tmp_path / "triplanes" / "0.npy")
+    assert np.isfinite(tri).all()
+    with pytest.raises(SystemExit):
+        gen.main([
+            "--random_init", "--preset", "tiny",
+            "--num_samples", "1", "--batch_size", "1",
+            "--num_steps", "5", "--use_dpm", "--skip_decode",
+            "--save_intermediate", "0", "--save_dir", str(tmp_path),
+        ])
