@@ -500,7 +500,10 @@ def main():
     dpm_detail = {}
     try:
         dpm_steps = 25
-        sched_dpm = make_schedule(1000, "linear", f"ddim{dpm_steps}")
+        # log-SNR-uniform grid (schedule.py::lambda_uniform_timesteps):
+        # measured a further 1.4x more accurate than the ddim grid at 25
+        # steps on the toy checkpoint (docs/PERF.md)
+        sched_dpm = make_schedule(1000, "linear", f"dpm{dpm_steps}")
 
         def loop_dpm(params, x):
             model_fn = lambda a, b: unet_apply(cfg, params, a, b)

@@ -64,10 +64,13 @@ def main(argv=None):
     from ishapediting_tpu.parallel.mesh import make_mesh
     from ishapediting_tpu.parallel.sampling import sample_sharded
 
-    # dpm uses the ddim-style uniform respacing for its timestep grid
-    config = preset(
-        args.preset, args.num_steps, use_ddim=args.use_ddim or args.use_dpm
-    )
+    config = preset(args.preset, args.num_steps, use_ddim=args.use_ddim)
+    if args.use_dpm:
+        # log-SNR-uniform grid: measured 1.4-4x more accurate for the
+        # solver than the ddim grid at 10-25 steps (docs/PERF.md)
+        config = config.with_dpm(
+            min(args.num_steps, config.diffusion.base_steps)
+        )
 
     if args.model_dir:
         engine = DragEngine.from_model_dir(args.model_dir, config=config)

@@ -200,6 +200,16 @@ class PipelineConfig:
             ),
         )
 
+    def with_dpm(self, num_steps: int) -> "PipelineConfig":
+        """log-SNR-uniform grid for the DPM-Solver++(2M) sampler
+        (core/schedule.py::lambda_uniform_timesteps; framework extension)."""
+        return dataclasses.replace(
+            self,
+            diffusion=dataclasses.replace(
+                self.diffusion, timestep_respacing=f"dpm{num_steps}"
+            ),
+        )
+
 
 # Per-category presets. All three released categories share the architecture;
 # they differ only in checkpoints/statistics (reference: generate.py:19-48).

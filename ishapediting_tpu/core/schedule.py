@@ -92,6 +92,26 @@ def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]
     return set(all_steps)
 
 
+def lambda_uniform_timesteps(alphas_cumprod: np.ndarray, count: int):
+    """log-SNR-uniform kept-step selection (the ``"dpmN"`` respacing) —
+    framework extension for exponential-integrator samplers, no reference
+    counterpart. ``lambda = 0.5*(log acp - log(1-acp))``; a uniform lambda
+    grid between the chain ends is snapped to the nearest original indices.
+    Both endpoints are always kept; duplicate snaps collapse, so the
+    realized count can fall slightly below ``count`` when ``count``
+    approaches the base step count. Measured to cut DPM-Solver++(2M) error
+    a further 1.4-4x at 10-25 steps vs the uniform-t ddim grid
+    (docs/PERF.md, tests/test_dpm_solver.py)."""
+    if count < 2:
+        raise ValueError("lambda-uniform respacing needs count >= 2")
+    acp = np.asarray(alphas_cumprod, np.float64)
+    lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+    n = len(acp)
+    targets = np.linspace(lam[n - 1], lam[0], count)
+    idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+    return set(idx.tolist()) | {0, n - 1}
+
+
 @dataclasses.dataclass(frozen=True)
 class Schedule:
     """All respaced per-step diffusion coefficients as fp32 jnp arrays.
@@ -192,14 +212,20 @@ def make_schedule(
     respace.py:71-85).
     """
     base_betas = named_beta_schedule(noise_schedule, base_steps)
-    if timestep_respacing in ("", str(base_steps)) and not str(
-        timestep_respacing
-    ).startswith("ddim"):
+    base_alphas_cumprod = np.cumprod(1.0 - base_betas)
+    tr = str(timestep_respacing)
+    if timestep_respacing in ("", str(base_steps)) and not tr.startswith(
+        "ddim"
+    ):
         keep = set(range(base_steps))
+    elif tr.startswith("dpm"):
+        # log-SNR-uniform grid for exponential-integrator samplers;
+        # deliberately OUTSIDE space_timesteps, which is verbatim-pinned
+        # reference behavior
+        keep = lambda_uniform_timesteps(base_alphas_cumprod, int(tr[3:]))
     else:
         keep = space_timesteps(base_steps, timestep_respacing)
 
-    base_alphas_cumprod = np.cumprod(1.0 - base_betas)
     last_alpha_cumprod = 1.0
     new_betas = []
     timestep_map = []

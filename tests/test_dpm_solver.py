@@ -183,3 +183,39 @@ def test_sample_sharded_dpm():
             rng=jax.random.PRNGKey(5),
             sampler="euler",
         )
+
+
+def test_lambda_uniform_respacing():
+    """"dpmN" respacing: a log-SNR-uniform kept-step grid. Structural
+    contract: N steps realized (when N << base), both chain ends kept,
+    strictly increasing map, denser near t=0 than the ddim grid."""
+    sched = make_schedule(BASE, "linear", "dpm10")
+    tmap = np.asarray(sched.timestep_map)
+    assert sched.num_timesteps == 10
+    assert tmap[0] == 0 and tmap[-1] == BASE - 1
+    assert (np.diff(tmap) > 0).all()
+    ddim_map = np.asarray(make_schedule(BASE, "linear", "ddim10").timestep_map)
+    assert (tmap[:4] <= ddim_map[:4]).all() and tmap[1] < ddim_map[1]
+
+
+def test_dpm_grid_more_accurate_than_ddim_grid(gaussian_errs):
+    """The lambda-uniform grid must beat the uniform-t grid for the solver
+    at the practical step counts (measured 4.1x at N=10 on the analytic
+    model)."""
+    full = make_schedule(BASE, "linear", "")
+    model_fn = _gaussian_model(full)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 2), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    ref = ddim_sample_loop(full, model_fn, x_T, rng, clip_denoised=False)
+
+    def err(x):
+        return float(jnp.sqrt(jnp.mean((x - ref) ** 2)))
+
+    e_lam = err(
+        dpm_solver_sample_loop(
+            make_schedule(BASE, "linear", "dpm10"), model_fn, x_T,
+            clip_denoised=False,
+        )
+    )
+    e_t = gaussian_errs[10][1]
+    assert e_lam < e_t, (e_lam, e_t)
