@@ -219,3 +219,14 @@ def test_dpm_grid_more_accurate_than_ddim_grid(gaussian_errs):
     )
     e_t = gaussian_errs[10][1]
     assert e_lam < e_t, (e_lam, e_t)
+
+
+def test_lambda_uniform_rejects_degenerate_count():
+    from ishapediting_tpu.core.schedule import lambda_uniform_timesteps
+
+    acp = np.cumprod(1.0 - np.linspace(1e-4, 0.02, 100))
+    with pytest.raises(ValueError):
+        lambda_uniform_timesteps(acp, 1)
+    # near-base counts collapse duplicates instead of failing
+    keep = lambda_uniform_timesteps(acp, 100)
+    assert len(keep) <= 100 and {0, 99} <= keep
