@@ -79,6 +79,18 @@ def main(argv=None):
     else:
         raise SystemExit("need --model_dir or --random_init")
 
+    if args.use_dpm:
+        # duplicate log-SNR snaps collapse near the base step count, so the
+        # realized grid can be shorter than requested
+        # (core/schedule.py::lambda_uniform_timesteps) — tell the user
+        requested = min(args.num_steps, config.diffusion.base_steps)
+        realized = engine.sched.num_timesteps
+        print(
+            f"dpm respacing: requested {requested} steps, realized {realized}"
+            + ("" if realized == requested
+               else " (duplicate log-SNR snaps collapsed)")
+        )
+
     os.makedirs(args.save_dir, exist_ok=True)
     os.makedirs(f"{args.save_dir}/triplanes", exist_ok=True)
 

@@ -625,7 +625,13 @@ def p_sample_loop_snapshots(
     """
     snapshot_steps = tuple(int(s) for s in snapshot_steps)
     num = sched.num_timesteps
-    assert all(0 <= s < num for s in snapshot_steps), (snapshot_steps, num)
+    if not all(0 <= s < num for s in snapshot_steps):
+        # user-facing (--save_intermediate): a real error, not an assert
+        # (asserts vanish under python -O and read as internal bugs)
+        raise ValueError(
+            f"snapshot_steps must be loop indices in [0, {num}); "
+            f"got {snapshot_steps}"
+        )
     snap_idx = jnp.asarray(snapshot_steps, jnp.int32)
     buf = jnp.zeros((len(snapshot_steps),) + x_T.shape, jnp.float32)
 

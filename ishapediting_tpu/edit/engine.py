@@ -138,6 +138,7 @@ class DragEngine:
         # engine to the host path until clear_params()
         self._device_march_broken = False
         self._march_overflows = 0
+        self._march_failures = 0
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
@@ -385,12 +386,24 @@ class DragEngine:
                         self._device_march_broken = True
                 else:
                     self._march_overflows = 0
+                    self._march_failures = 0
             except Exception as exc:  # e.g. backend lowering gap — fall back
+                # One failure may be transient (tunnel hiccup, OOM under
+                # concurrent load); permanently pinning to the host path on
+                # the first one would silently cost every later mesh its
+                # device-marching win. Two in a row means the lowering itself
+                # doesn't work here — stop paying the wasted device attempt.
+                self._march_failures += 1
+                sticky = self._march_failures >= 2
                 warnings.warn(
                     f"device marching failed ({type(exc).__name__}: {exc}); "
-                    "falling back to the host path for this engine"
+                    + ("falling back to the host path for this engine"
+                       if sticky else
+                       "falling back to the host path for this call "
+                       "(one retry remains before the fallback sticks)")
                 )
-                self._device_march_broken = True
+                if sticky:
+                    self._device_march_broken = True
         if mesh is None:
             grid = self.decode_latent_grid(latent, res=res)
             mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
@@ -425,11 +438,20 @@ class DragEngine:
 
         res = res or self.config.edit.shape_resolution
         max_cells, max_tris = default_capacities(res)
+        # accept the same latent shapes the host path does (a flat or
+        # unbatched latent reshapes identically in decode_latent_grid)
+        latent = jnp.asarray(latent, jnp.float32).reshape(
+            (1,) + self.config.latent_shape
+        )
 
         def build():
             def run(dec, lat, half_range, middle):
                 planes = latent_to_planes(lat, half_range, middle)
-                grid = decode_grid(dec, planes, res=res)
+                # quantize through fp16 exactly like the host path's fetch
+                # (decode_latent_grid) so both paths march the same field
+                grid = decode_grid(
+                    dec, planes, res=res, out_dtype=jnp.float16
+                ).astype(jnp.float32)
                 return marching_tets_device(
                     grid, 0.0, max_cells=max_cells, max_tris=max_tris
                 )
@@ -816,6 +838,7 @@ class DragEngine:
         # give device marching another chance on the next workload
         self._device_march_broken = False
         self._march_overflows = 0
+        self._march_failures = 0
 
     def reset_params(self) -> None:
         if self.mesh0 is not None:

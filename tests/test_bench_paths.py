@@ -75,6 +75,9 @@ def test_bench_quality_subprocess():
     assert q["inversion_replay_iou"] > 0.98
     assert q["motion_loss_reduction"] >= 0.5 * q["recorded_reduction"]
     assert q["edit_locality_iou"] >= 0.5
+    # CI pin for the bench's DPM-quality claim: half the steps, <= error
+    assert q["solver"]["dpm_half_rms"] <= q["solver"]["ddim_rms"]
+    assert q["solver"]["dpm_half_steps"] <= q["solver"]["ddim_steps"] // 2 + 1
 
 
 def test_backend_unavailable_predicate():
@@ -95,10 +98,8 @@ def test_backend_unavailable_predicate():
     assert not bench._backend_unavailable(RuntimeError("INTERNAL: bad HLO"))
 
 
-def test_bench_guard_reexec_loop(tmp_path):
-    """The __main__ guard re-execs (fresh process) on the backend-outage
-    signature and gives up after 4 attempts — driven as a real subprocess
-    because os.execv replaces the process image."""
+def _run_guard_script(tmp_path, body, extra_env=None, timeout=120):
+    import json
     import os
     import subprocess
     import sys
@@ -108,28 +109,105 @@ def test_bench_guard_reexec_loop(tmp_path):
     script.write_text(
         "import sys\n"
         f"sys.path.insert(0, {repo!r})\n"
-        "import bench\n"
-        "def boom():\n"
-        "    raise RuntimeError(\n"
-        "        \"Unable to initialize backend 'axon': UNAVAILABLE: \"\n"
-        "        'TPU backend setup/compile error (Unavailable).')\n"
-        "bench.main = boom\n"
-        "bench._guarded_main()\n"
+        "import bench\n" + body + "bench._guarded_main()\n"
     )
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"  # also disables the tunnel probe
     env["ISHAPE_BENCH_RETRY_WAIT_S"] = "0"
     env.pop("ISHAPE_BENCH_ATTEMPT", None)
+    env.pop("ISHAPE_BENCH_EPOCH0", None)
+    env.update(extra_env or {})
     r = subprocess.run(
         [sys.executable, str(script)],
         capture_output=True,
         text=True,
-        timeout=120,
+        timeout=timeout,
         env=env,
     )
+    json_lines = [
+        json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")
+    ]
+    return r, json_lines
+
+
+def test_bench_guard_reexec_emits_degraded_json(tmp_path):
+    """The __main__ guard re-execs ONCE on the backend-outage signature,
+    emits a degraded-but-parseable JSON line before every re-exec and on the
+    final failure — rc=124-with-no-JSON (BENCH_r03) must be impossible.
+    Driven as a real subprocess because os.execv replaces the process."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "def boom():\n"
+        "    raise RuntimeError(\n"
+        "        \"Unable to initialize backend 'axon': UNAVAILABLE: \"\n"
+        "        'TPU backend setup/compile error (Unavailable).')\n"
+        "bench.main = boom\n",
+    )
+    assert r.returncode != 0  # program gave up; rc signals the raise
+    assert r.stderr.count("re-exec") == 1
+    assert "attempt 1/2" in r.stderr
+    # one degraded line per attempt: before the re-exec + at the final raise
+    assert len(json_lines) == 2
+    for rec in json_lines:
+        assert rec["metric"] == "triplane_samples_per_sec_ddim50"
+        assert rec["value"] is None
+        assert "UNAVAILABLE" in rec["error"]
+
+
+def test_bench_guard_program_error_still_emits_json(tmp_path):
+    """A genuine program error must NOT retry for minutes — it surfaces
+    immediately — but the degraded JSON line still lands first."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "def boom():\n"
+        "    raise ValueError('shape mismatch somewhere')\n"
+        "bench.main = boom\n",
+    )
     assert r.returncode != 0
-    assert r.stderr.count("re-exec") == 3
-    assert "attempt 3/4" in r.stderr
+    assert "re-exec" not in r.stderr
+    assert len(json_lines) == 1
+    assert json_lines[0]["value"] is None
+    assert "shape mismatch" in json_lines[0]["error"]
+
+
+def test_bench_guard_global_deadline_emits_json(tmp_path):
+    """If main() hangs past the global budget, the deadline guard emits a
+    degraded JSON line (carrying any partial measurements) and exits 0."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "import time\n"
+        "def hang():\n"
+        "    bench._PARTIAL['value'] = 3.9\n"
+        "    bench._PARTIAL['detail'] = {'compile_s': 12.0}\n"
+        "    time.sleep(600)\n"
+        "bench.main = hang\n",
+        extra_env={"ISHAPE_BENCH_BUDGET_S": "50"},  # guard fires at ~5s left
+    )
+    assert r.returncode == 0
+    assert len(json_lines) == 1
+    rec = json_lines[0]
+    assert "budget expired" in rec["error"]
+    # partial headline measurements ride along on the degraded record
+    assert rec["value"] == 3.9
+    assert rec["detail"]["compile_s"] == 12.0
+
+
+def test_bench_guard_success_passthrough(tmp_path):
+    """A healthy main() prints exactly one real JSON line; the guard adds
+    nothing."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "def ok():\n"
+        "    import json\n"
+        "    print(json.dumps({'metric': 'triplane_samples_per_sec_ddim50',\n"
+        "                      'value': 4.0, 'unit': 's', 'vs_baseline': 1.0,\n"
+        "                      'detail': {}}), flush=True)\n"
+        "    bench._JSON_EMITTED.set()\n"
+        "bench.main = ok\n",
+    )
+    assert r.returncode == 0
+    assert len(json_lines) == 1
+    assert json_lines[0]["value"] == 4.0
 
 
 def test_bench_product_paths_fail_soft(monkeypatch):

@@ -123,8 +123,10 @@ def test_engine_device_path(monkeypatch):
 
 
 def test_engine_device_failure_falls_back_loudly(monkeypatch):
-    """A backend lowering failure in the device program warns once and
-    pins the engine to the host path (sticky, per-engine)."""
+    """A device-program failure warns and falls back per-call; only a
+    SECOND consecutive failure pins the engine to the host path — a single
+    transient (tunnel hiccup) must not permanently cost the device-marching
+    win (ADVICE r3)."""
     import warnings
 
     from tests.test_engine import TINY_PIPELINE
@@ -144,10 +146,51 @@ def test_engine_device_failure_falls_back_loudly(monkeypatch):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         mesh = engine.get_mesh(latent, smooth=0)
-    assert any("device marching failed" in str(w.message) for w in caught)
+    assert any("one retry remains" in str(w.message) for w in caught)
+    assert len(mesh.triangles) > 0
+    assert not engine._device_march_broken  # first failure: not sticky yet
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh = engine.get_mesh(latent, smooth=0)
+    assert any(
+        "falling back to the host path for this engine" in str(w.message)
+        for w in caught
+    )
     assert len(mesh.triangles) > 0
     monkeypatch.setenv("ISHAPE_MARCH_IMPL", "auto")
     assert engine._device_march_broken and not engine._march_on_device()
+
+
+def test_engine_device_success_resets_failure_count(monkeypatch):
+    """A success between two failures resets the transient-failure counter
+    (only *consecutive* failures pin the engine)."""
+    import warnings
+
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    real = DragEngine._decode_mesh_device
+
+    def flaky(self, lat, res=None):
+        if engine._march_failures == 0 and not flaky.failed_once:
+            flaky.failed_once = True
+            raise RuntimeError("transient")
+        return real(self, lat, res=res)
+
+    flaky.failed_once = False
+    monkeypatch.setattr(DragEngine, "_decode_mesh_device", flaky)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        engine.get_mesh(latent, smooth=0)  # fails once -> host fallback
+    assert engine._march_failures == 1
+    engine.get_mesh(latent, smooth=0)  # device path succeeds
+    assert engine._march_failures == 0 and not engine._device_march_broken
 
 
 def test_engine_overflow_sticks_after_two(monkeypatch):

@@ -16,6 +16,10 @@ the quality numbers the reference's offline evaluation utilities define
 - ``edit_locality_iou`` — occupancy IoU outside the handle/target balls
   between original and edited mesh (the edit stays local).
 - ``edit_delta_x`` — surface displacement toward the drag target.
+- ``solver`` — CI pin for the bench's DPM-quality claim on this trained
+  checkpoint: RMS latent error of ddim-at-N vs dpm-at-N/2 (log-SNR grid)
+  against the dense-step DDIM solution; the claim "DPM at half the steps
+  >= DDIM quality" holds iff ``dpm_half_rms <= ddim_rms``.
 
 Runs on CPU fp32 (where the asset's recorded numbers were validated;
 bench.py invokes it as a subprocess so the chip session stays clean).
@@ -79,6 +83,45 @@ def main():
     )
     motion = float(engine.last_drag_losses["motion"][-1])
 
+    # solver-quality pin: same x_T, dense DDIM as the reference solution
+    from functools import partial
+
+    from ishapediting_tpu.core.diffusion import (
+        ddim_sample_loop,
+        dpm_solver_sample_loop,
+    )
+    from ishapediting_tpu.core.schedule import make_schedule
+    from ishapediting_tpu.models.unet import unet_apply
+
+    cfg = engine.config
+    base = cfg.diffusion.base_steps
+    mf = lambda p, x, t: unet_apply(cfg.unet, p, x, t)
+    x_T = jax.random.normal(
+        jax.random.PRNGKey(eval_seed + 1), latent0.shape, jnp.float32
+    )
+    dense = make_schedule(base, cfg.diffusion.noise_schedule, "")
+    ref = jax.jit(
+        lambda p, x, r: ddim_sample_loop(dense, partial(mf, p), x, r)
+    )(engine.unet_params, x_T, jax.random.PRNGKey(0))
+    n = min(50, base // 2)
+    sched_ddim = make_schedule(base, cfg.diffusion.noise_schedule, f"ddim{n}")
+    sched_dpm = make_schedule(
+        base, cfg.diffusion.noise_schedule, f"dpm{n // 2}"
+    )
+    e_ddim = jax.jit(
+        lambda p, x, r: ddim_sample_loop(sched_ddim, partial(mf, p), x, r)
+    )(engine.unet_params, x_T, jax.random.PRNGKey(0))
+    e_dpm = jax.jit(
+        lambda p, x: dpm_solver_sample_loop(sched_dpm, partial(mf, p), x)
+    )(engine.unet_params, x_T)
+    rms = lambda a: float(jnp.sqrt(jnp.mean((a - ref) ** 2)))
+    solver = {
+        "ddim_steps": n,
+        "ddim_rms": round(rms(e_ddim), 6),
+        "dpm_half_steps": int(sched_dpm.num_timesteps),
+        "dpm_half_rms": round(rms(e_dpm), 6),
+    }
+
     print(
         json.dumps(
             {
@@ -100,6 +143,7 @@ def main():
                     ),
                     4,
                 ),
+                "solver": solver,
             }
         )
     )
