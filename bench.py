@@ -466,7 +466,14 @@ def _bail():
     time.sleep({deadline})
     os._exit(7)
 threading.Thread(target=_bail, daemon=True).start()
-import jax, jax.numpy as jnp, numpy as np
+import jax
+# honor the env platform choice explicitly: the tunnel plugin's .pth hook
+# overrides JAX_PLATFORMS, so env alone does not pin the backend
+# (docs/PERF.md / CLAUDE.md)
+_p = os.environ.get("JAX_PLATFORMS")
+if _p:
+    jax.config.update("jax_platforms", _p)
+import jax.numpy as jnp, numpy as np
 print(float(np.asarray(jnp.sum(jax.jit(lambda x: x + 1)(jnp.zeros(4))))))
 """
 
@@ -509,6 +516,13 @@ def _probe_tunnel(deadline_s: float) -> bool:
 
 
 def main():
+    import os
+
+    # honor an explicit JAX_PLATFORMS=cpu: the tunnel plugin's .pth hook
+    # overrides the env var at interpreter start, so pin via jax.config
+    # before the first backend touch (docs/PERF.md / CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     detail = {}
     _PARTIAL["detail"] = detail
     # Persistent compile cache — but NOT on the axon tunnel runtime, where
@@ -786,6 +800,19 @@ def _guarded_main():
                 )
                 time.sleep(45)
             else:
+                # salvage what is measurable without the chip: the quality
+                # block runs on CPU (BASELINE.md quantity (d)) — the round
+                # still lands NEW evidence even with a dead tunnel
+                try:
+                    rem = _global_remaining()
+                    if rem > 150:
+                        _PARTIAL.setdefault("detail", {}).update(
+                            bench_quality_subprocess(
+                                timeout_s=min(600.0, rem - 90)
+                            )
+                        )
+                except Exception:
+                    pass
                 _bail("tunnel probe dead twice; backend wedged all round")
 
     # Layer 3: wedge watchdog — init can HANG in a futex instead of raising

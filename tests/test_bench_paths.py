@@ -192,6 +192,46 @@ def test_bench_guard_global_deadline_emits_json(tmp_path):
     assert rec["detail"]["compile_s"] == 12.0
 
 
+def test_probe_tunnel_alive_and_wedged():
+    """The liveness probe returns True on a healthy backend (CPU here) and
+    False when the child can't finish before its self-deadline — without
+    ever hard-killing the child (a killed tunnel client wedges the server,
+    which is the exact failure the probe detects)."""
+    import os
+
+    import bench
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    assert bench._probe_tunnel(120.0)
+    # a 0-second self-deadline fires before jax import completes: the child
+    # exits 7 on its own timer, never killed from outside
+    assert not bench._probe_tunnel(0.0)
+
+
+def test_bench_guard_dead_tunnel_salvages_quality(tmp_path):
+    """With the tunnel dead all round (both probes fail), the guard still
+    emits a degraded JSON line carrying the CPU-measured quality block, and
+    exits 0 — the round lands evidence even with no chip."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "bench._probe_tunnel = lambda cap: False\n"
+        "bench.bench_quality_subprocess = (\n"
+        "    lambda timeout_s: {'quality': {'salvaged': True}})\n"
+        "def never(*a, **k):\n"
+        "    raise AssertionError('main must not run with a dead tunnel')\n"
+        "bench.main = never\n",
+        # env JAX_PLATFORMS != cpu so the probe path is active; the probes
+        # are stubbed, so no backend is ever touched
+        extra_env={"JAX_PLATFORMS": "axon"},
+        timeout=180,
+    )
+    assert r.returncode == 0
+    assert len(json_lines) == 2  # first-probe degraded + final salvage
+    final = json_lines[-1]
+    assert "wedged all round" in final["error"]
+    assert final["detail"]["quality"] == {"salvaged": True}
+
+
 def test_bench_guard_success_passthrough(tmp_path):
     """A healthy main() prints exactly one real JSON line; the guard adds
     nothing."""
