@@ -798,7 +798,9 @@ def _guarded_main():
                 _emit_degraded(
                     f"tunnel probe dead after {cap:.0f}s; retrying once"
                 )
-                time.sleep(45)
+                time.sleep(
+                    float(os.environ.get("ISHAPE_BENCH_RETRY_WAIT_S", "45"))
+                )
             else:
                 # salvage what is measurable without the chip: the quality
                 # block runs on CPU (BASELINE.md quantity (d)) — the round

@@ -1,0 +1,40 @@
+#!/bin/sh
+# One-shot chip measurement campaign for when the tunnel comes back:
+#   1. long self-deadline liveness probe (never externally killed)
+#   2. full bench.py with a generous budget  -> /tmp/bench_chip.json
+#   3. inversion-chunk sweep                 -> /tmp/invchunk_chip.log
+# Run ALONE (no concurrent pytest — CPU load triples server-side compiles).
+# Usage: sh tools/chip_campaign.sh
+set -u
+cd "$(dirname "$0")/.."
+
+echo "=== campaign start $(date +%H:%M:%S) ==="
+python - <<'EOF'
+import os, threading, time
+T0 = time.time()
+def bail():
+    time.sleep(900)
+    print(f"campaign probe self-exit after {time.time()-T0:.0f}s (wedged)", flush=True)
+    os._exit(7)
+threading.Thread(target=bail, daemon=True).start()
+import jax, jax.numpy as jnp, numpy as np
+v = float(np.asarray(jnp.sum(jax.jit(lambda x: x + 1)(jnp.zeros(4)))))
+print(f"campaign probe OK: wall {time.time()-T0:.1f}s {jax.devices()[0]}", flush=True)
+EOF
+rc=$?
+if [ $rc -ne 0 ]; then
+  echo "tunnel still wedged (rc=$rc); campaign aborted"
+  exit $rc
+fi
+
+echo "=== bench $(date +%H:%M:%S) ==="
+ISHAPE_BENCH_BUDGET_S=2700 ISHAPE_BENCH_NO_PROBE=1 \
+  python bench.py >/tmp/bench_chip.json 2>/tmp/bench_chip.err
+echo "bench rc=$? (json in /tmp/bench_chip.json)"
+tail -c 600 /tmp/bench_chip.json
+
+echo "=== invchunk sweep $(date +%H:%M:%S) ==="
+python tools/probe_invchunk.py >/tmp/invchunk_chip.log 2>&1
+echo "invchunk rc=$? (log in /tmp/invchunk_chip.log)"
+tail -3 /tmp/invchunk_chip.log
+echo "=== campaign done $(date +%H:%M:%S) ==="

@@ -6,8 +6,16 @@ engine ships chunk=2. This measures wall-clock for chunk in {1,2,4,8} so the
 default is justified by numbers (VERDICT r2 weak-item 1c).
 
 Run alone: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_invchunk.py
+
+Self-deadline (``INVCHUNK_DEADLINE_S``, default 2700): the process exits 7
+on its own timer instead of being externally killed — a killed tunnel
+client wedges the server for the next one (docs/PERF.md). Partial results
+print per chunk, and a final JSON summary line aggregates what completed.
 """
 
+import json
+import os
+import threading
 import time
 from functools import partial
 
@@ -22,12 +30,26 @@ from ishapediting_tpu.core.schedule import make_schedule
 from ishapediting_tpu.edit.features import regroup_features
 from ishapediting_tpu.models.unet import init_unet_params, unet_apply
 
+RESULTS = {}
+
 
 def fetch(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
+def _arm_self_deadline():
+    deadline = float(os.environ.get("INVCHUNK_DEADLINE_S", "2700"))
+
+    def bail():
+        time.sleep(deadline)
+        print(json.dumps({"invchunk": RESULTS, "truncated": True}), flush=True)
+        os._exit(7)
+
+    threading.Thread(target=bail, daemon=True).start()
+
+
 def main():
+    _arm_self_deadline()
     t0 = time.time()
     fetch(jax.jit(lambda x: x + 1)(jnp.zeros(8)))
     print(f"session warmup: {time.time() - t0:.1f}s", flush=True)
@@ -73,11 +95,17 @@ def main():
             out = fn(params, latent, jax.random.PRNGKey(3 + rep))
             fetch(out["latent"])
             times.append(time.time() - t0)
+        RESULTS[chunk] = {
+            "cold_s": round(cold, 1),
+            "warm_best_s": round(min(times), 2),
+            "warm_all_s": [round(t, 2) for t in times],
+        }
         print(
             f"chunk={chunk}: cold {cold:.1f}s, warm best {min(times):.2f}s "
             f"(all {[round(t, 2) for t in times]})",
             flush=True,
         )
+    print(json.dumps({"invchunk": RESULTS, "truncated": False}), flush=True)
 
 
 if __name__ == "__main__":
