@@ -138,6 +138,21 @@ def decode_grid(
     resize of the plane, so plane sampling becomes two small matmuls per
     plane; the Fourier projection folds into the same per-plane pass.
     """
+    pre = _grid_precompute(dec, planes, res, compute_dtype)
+    while res % chunk:  # largest divisor of res not exceeding the request
+        chunk -= 1
+    out = _grid_rows(pre, jnp.arange(res), chunk, compute_dtype)
+    if out_dtype is not None:
+        # fp16 transfer halves host-fetch time; marching tetrahedra only
+        # needs values near the zero crossing, where fp16 is plenty.
+        out = out.astype(out_dtype)
+    return out
+
+
+def _grid_precompute(dec: Dict, planes: jnp.ndarray, res: int, compute_dtype):
+    """Per-plane-pixel work shared by every grid row: separable
+    align_corners resize of each plane to res x res, Fourier projection
+    folded in. Returns (p_xy, p_yz, p_xz, dec_c)."""
     _, h, w, c = planes.shape
     m = jnp.asarray(_resize_matrix_align_corners(h, res))  # [res, src]
 
@@ -150,10 +165,16 @@ def decode_grid(
     proj = jnp.einsum(
         "prsc,cm->prsm", rp, dec["fourier_B"], preferred_element_type=jnp.float32
     )
-    p_xy, p_yz, p_xz = proj[0], proj[1], proj[2]  # [res, res, mapping]
     # p_xy[row=y, col=x]; p_yz[row=z, col=y]; p_xz[row=z, col=x]
-
     dec_c = jax.tree.map(lambda a: a.astype(compute_dtype), dec)
+    return proj[0], proj[1], proj[2], dec_c
+
+
+def _grid_rows(pre, rows: jnp.ndarray, chunk: int, compute_dtype):
+    """Grid logits for the given x-row indices: [len(rows), res, res]
+    indexed [i, j, k]. ``rows`` may be a traced offset + arange (sharded
+    decode); ``chunk`` must divide len(rows) (static)."""
+    p_xy, p_yz, p_xz, dec_c = pre
 
     def slab(i_chunk):
         # i indexes x. S[ic, k, j, m] = p_xy[j, i] + p_yz[k, j] + p_xz[k, i]
@@ -163,16 +184,10 @@ def decode_grid(
         logits = mlp_head(dec_c, s, compute_dtype)[..., 0]  # [ic, k, j]
         return logits.transpose(0, 2, 1)  # [ic, j, k]
 
-    while res % chunk:  # largest divisor of res not exceeding the request
-        chunk -= 1
-    idx = jnp.arange(res).reshape(res // chunk, chunk)
-    out = jax.lax.map(slab, idx)  # [res/chunk, chunk, j, k]
-    out = out.reshape(res, res, res)
-    if out_dtype is not None:
-        # fp16 transfer halves host-fetch time; marching tetrahedra only
-        # needs values near the zero crossing, where fp16 is plenty.
-        out = out.astype(out_dtype)
-    return out
+    n = rows.shape[0]
+    idx = rows.reshape(n // chunk, chunk)
+    out = jax.lax.map(slab, idx)  # [n/chunk, chunk, j, k]
+    return out.reshape(n, p_yz.shape[0], p_yz.shape[1])
 
 
 def decode_points_chunked(

@@ -5,3 +5,4 @@ from ishapediting_tpu.parallel.mesh import (  # noqa: F401
     shard_params_tp,
 )
 from ishapediting_tpu.parallel.sampling import sample_sharded  # noqa: F401
+from ishapediting_tpu.parallel.decode import decode_grid_sharded  # noqa: F401
