@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "sampler — DDIM-N quality in roughly half the steps "
                    "(framework extension; the reference has DDPM/DDIM only)")
     p.add_argument("--shape_resolution", type=int, default=256)
+    p.add_argument("--sharded_decode", action="store_true",
+                   help="decode one grid per device simultaneously "
+                        "(parallel.decode.decode_grids_batched) instead of "
+                        "sequentially per sample — the reference decodes "
+                        "its batch one-by-one on one GPU (generate.py:89-98)")
     p.add_argument("--save_dir", type=str, default="samples/out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_decode", action="store_true")
@@ -211,7 +216,37 @@ def main(argv=None):
 
     if not args.skip_decode:
         os.makedirs(f"{args.save_dir}/objects", exist_ok=True)
-        for idx in range(samples.shape[0]):
+        done = 0
+        if args.sharded_decode and usable > 1:
+            # one grid per device, whole groups at a time; the remainder
+            # (batch not divisible by the device count) falls through to
+            # the per-sample path below
+            from ishapediting_tpu.edit.fit import latents_to_planes
+            from ishapediting_tpu.geometry.marching import grid_to_mesh
+            from ishapediting_tpu.parallel.decode import decode_grids_batched
+
+            k = (samples.shape[0] // usable) * usable
+            if k:
+                planes_b = latents_to_planes(
+                    jnp.asarray(samples[:k]), engine.half_range, engine.middle
+                )
+                for g0 in range(0, k, usable):
+                    grids = decode_grids_batched(
+                        engine.decoder_params,
+                        planes_b[g0 : g0 + usable],
+                        mesh,
+                        res=args.shape_resolution,
+                        out_dtype=jnp.float16,  # matches get_mesh's fetch
+                    )
+                    for j in range(usable):
+                        idx = g0 + j
+                        print(f"Decoding triplane {idx}...")
+                        grid = np.asarray(grids[j]).astype(np.float32)
+                        grid_to_mesh(grid, iso=0.0, to_unit=True).write(
+                            f"{args.save_dir}/objects/{idx}.obj"
+                        )
+                done = k
+        for idx in range(done, samples.shape[0]):
             print(f"Decoding triplane {idx}...")
             # get_mesh auto-selects device marching off-CPU (the grid stays
             # in HBM; only the count-sized triangle payload is fetched) and

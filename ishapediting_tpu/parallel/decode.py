@@ -76,3 +76,55 @@ def decode_grid_sharded(
     program is cached per (mesh, res, chunk, dtypes)."""
     fn = _build(mesh, res, chunk, compute_dtype, out_dtype)
     return fn(dec, planes)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_batched(mesh: Mesh, res: int, chunk: int, compute_dtype, out_dtype):
+    axis_names = tuple(mesh.axis_names)
+    c = min(chunk, res)
+    while res % c:
+        c -= 1
+
+    def body(dec, planes_local):  # [n_loc, 3, h, w, c]
+        def one(planes):
+            pre = _grid_precompute(dec, planes, res, compute_dtype)
+            out = _grid_rows(pre, jnp.arange(res), c, compute_dtype)
+            return out if out_dtype is None else out.astype(out_dtype)
+
+        return jax.lax.map(one, planes_local)  # [n_loc, res, res, res]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis_names)),  # decoder replicated; grids per device
+        out_specs=P(axis_names),
+    )
+    return jax.jit(fn)
+
+
+def decode_grids_batched(
+    dec: Dict,
+    planes_batch: jnp.ndarray,  # [N, 3, h, w, c]
+    mesh: Mesh,
+    *,
+    res: int = 256,
+    chunk: int = 16,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Decode N triplanes to N dense grids simultaneously, one grid per
+    device ([N, res, res, res], batch axis sharded over the whole mesh) —
+    the batch-generation decode stage (the reference's printed
+    'decode time', generate.py:89-98, decodes its samples one after
+    another on one GPU). N must divide by the mesh's device count; grids
+    stay device-resident (fp16 ``out_dtype`` halves the fetch).
+    """
+    n = planes_batch.shape[0]
+    n_dev = math.prod(mesh.shape[a] for a in mesh.axis_names)
+    if n % n_dev:
+        raise ValueError(
+            f"batch {n} must divide by the mesh's {n_dev} devices "
+            "(pad the batch or decode per-sample)"
+        )
+    fn = _build_batched(mesh, res, chunk, compute_dtype, out_dtype)
+    return fn(dec, planes_batch)

@@ -231,6 +231,27 @@ def test_generate_cli_dpm_reports_realized_steps(tmp_path, capsys):
     )
 
 
+def test_generate_cli_sharded_decode_matches_plain(tmp_path):
+    """--sharded_decode (one grid per device) writes the same meshes as the
+    sequential per-sample path — same samples, same fp16-quantized grid,
+    same marching."""
+    import ishapediting_tpu.cli.generate as gen
+    from ishapediting_tpu.geometry.mesh import TriMesh
+
+    common = [
+        "--random_init", "--preset", "tiny",
+        "--num_samples", "2", "--batch_size", "2",
+        "--shape_resolution", "16",
+    ]
+    gen.main(common + ["--save_dir", str(tmp_path / "plain")])
+    gen.main(common + ["--sharded_decode", "--save_dir", str(tmp_path / "sh")])
+    for i in range(2):
+        a = TriMesh.read(tmp_path / "plain" / "objects" / f"{i}.obj")
+        b = TriMesh.read(tmp_path / "sh" / "objects" / f"{i}.obj")
+        assert len(a.vertices) == len(b.vertices) > 0
+        np.testing.assert_allclose(a.vertices, b.vertices, atol=1e-5)
+
+
 def test_snapshot_steps_out_of_range_is_value_error():
     """--save_intermediate indices past the chain length raise ValueError
     (user-facing validation, not an assert that python -O strips)."""

@@ -60,3 +60,26 @@ def test_sharded_decode_out_dtype_and_bad_res(dec_and_planes):
     assert out.dtype == jnp.float16
     with pytest.raises(ValueError, match="divide"):
         decode_grid_sharded(dec, planes, mesh, res=17)
+
+
+def test_batched_decode_matches_per_sample(dec_and_planes):
+    """decode_grids_batched: one grid per device, each bit-identical to the
+    single-device decode of that triplane."""
+    from ishapediting_tpu.parallel.decode import decode_grids_batched
+
+    dec, _ = dec_and_planes
+    planes_b = jax.random.normal(
+        jax.random.PRNGKey(7), (8, 3, 8, 8, 4), jnp.float32
+    )
+    mesh = make_mesh(8)
+    out = decode_grids_batched(
+        dec, planes_b, mesh, res=16, compute_dtype=jnp.float32
+    )
+    assert out.shape == (8, 16, 16, 16)
+    # batch axis sharded: one grid per device
+    assert {s.data.shape for s in out.addressable_shards} == {(1, 16, 16, 16)}
+    for i in (0, 3, 7):
+        ref = decode_grid(dec, planes_b[i], res=16, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(ref))
+    with pytest.raises(ValueError, match="divide"):
+        decode_grids_batched(dec, planes_b[:3], mesh, res=16)
