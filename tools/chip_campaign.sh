@@ -32,6 +32,23 @@ ISHAPE_BENCH_BUDGET_S=2700 ISHAPE_BENCH_NO_PROBE=1 \
   python bench.py >/tmp/bench_chip.json 2>/tmp/bench_chip.err
 echo "bench rc=$? (json in /tmp/bench_chip.json)"
 tail -c 600 /tmp/bench_chip.json
+# a degraded record (value null — tunnel died between probe and bench) is
+# not a capture: report failure so a watcher loop keeps trying
+python - <<'EOF' || exit 8
+import json, sys
+last = None
+for line in open("/tmp/bench_chip.json"):
+    line = line.strip()
+    if line.startswith("{"):
+        try:
+            last = json.loads(line)
+        except ValueError:
+            pass
+if not last or last.get("value") is None:
+    print("bench record degraded (value null) — not a chip capture")
+    sys.exit(1)
+print(f"bench chip capture OK: {last['metric']}={last['value']}")
+EOF
 
 echo "=== invchunk sweep $(date +%H:%M:%S) ==="
 python tools/probe_invchunk.py >/tmp/invchunk_chip.log 2>&1
