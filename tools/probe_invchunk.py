@@ -15,11 +15,14 @@ print per chunk, and a final JSON summary line aggregates what completed.
 
 import json
 import os
+import sys
 import threading
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
