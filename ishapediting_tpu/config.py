@@ -141,8 +141,10 @@ class EditConfig:
     # the model `inversion_chunk` at a time. Any value is bit-identical
     # (tests/test_engine.py::test_inversion_chunk_config_plumbing); sweep
     # with tools/probe_invchunk.py — measured numbers in docs/PERF.md
-    # "Inversion chunk sweep".
-    inversion_chunk: int = 2
+    # "Inversion chunk sweep": on-chip warm wall for the full 170-step
+    # inversion was 1.21/1.48/1.81/1.00 s at chunk 1/2/4/8, so 8 ships
+    # (compile cost 37 s vs 28 s at chunk=1 — paid once per session).
+    inversion_chunk: int = 8
 
     @property
     def voxel_size(self) -> float:

@@ -1,9 +1,10 @@
 """Sweep the ddpm_inversion backward-pass chunk size at full model scale.
 
 The backward pass batches all 170 independent UNet evaluations through the
-model in `chunk`-sized groups (core/diffusion.py::ddpm_inversion); the
-engine ships chunk=2. This measures wall-clock for chunk in {1,2,4,8} so the
-default is justified by numbers (VERDICT r2 weak-item 1c).
+model in `chunk`-sized groups (core/diffusion.py::ddpm_inversion). This
+measures wall-clock for chunk in {1,2,4,8} so the default is justified by
+numbers — measured 2026-08-18 (docs/PERF.md "Inversion chunk sweep"):
+warm 1.21/1.48/1.81/1.00 s at chunk 1/2/4/8, so the engine ships chunk=8.
 
 Run alone: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_invchunk.py
 
