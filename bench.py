@@ -243,6 +243,10 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     engine.latent_inversion(latent, seed=3)
     inversion_wall = time.perf_counter() - t0
     out["inversion_wall_s"] = round(inversion_wall, 2)
+    # engine-attributed sub-phases (device scan vs mesh tail): explains the
+    # wall without guessing — see docs/PERF.md "Current headline numbers"
+    out["inversion_phase_walls"] = engine.last_phase_walls
+    out["inversion_mesh_walls"] = engine.last_mesh_walls
     mesh0 = engine.mesh0
     n_verts = len(mesh0.vertices)
     out["mesh_verts"] = int(n_verts)
@@ -264,6 +268,7 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     engine.drag_edit(handle[None], target[None], seed=5, noise_mode="replay")
     edit_wall = time.perf_counter() - t0
     out["edit_wall_s"] = round(edit_wall, 2)
+    out["edit_phase_walls"] = engine.last_phase_walls
 
     # --- mesh-only wall (shared tail of both paths above) ----------------
     t0 = time.perf_counter()
@@ -271,13 +276,21 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     mesh_wall = time.perf_counter() - t0
     out["mesh_decode_wall_s"] = round(mesh_wall, 2)
     # drag/fit steps run fwd+bwd through the UNet (~3x fwd FLOPs); the
-    # inversion backward is 170 independent forwards; device time excludes
-    # the shared mesh tail. fit also re-runs the 170-step inversion.
+    # inversion backward is 170 independent forwards. Device time comes
+    # from the engine's own phase attribution (device scan wall with a
+    # completion barrier, mesh tail excluded) rather than subtracting the
+    # separately-measured mesh wall — the tail varies run to run.
+    drag_dev = (out.get("edit_phase_walls") or {}).get(
+        "device_s", max(edit_wall - mesh_wall, 1e-6)
+    )
+    inv_dev = (out.get("inversion_phase_walls") or {}).get(
+        "device_s", max(inversion_wall - mesh_wall, 1e-6)
+    )
     phase_tflops["drag_step"] = round(
-        3.0 * flops_fwd * w_time / max(edit_wall - mesh_wall, 1e-6) / 1e12, 1
+        3.0 * flops_fwd * w_time / max(drag_dev, 1e-6) / 1e12, 1
     )
     phase_tflops["inversion"] = round(
-        flops_fwd * w_time / max(inversion_wall - mesh_wall, 1e-6) / 1e12, 1
+        flops_fwd * w_time / max(inv_dev, 1e-6) / 1e12, 1
     )
 
     # --- real-shape fit: 200 guided steps + follow-up inversion ----------
@@ -291,9 +304,12 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
         engine.fit_real_shape(mesh=mesh0, center_mesh=False, path=tmp, seed=7)
         fit_wall = time.perf_counter() - t0
     out["fit_wall_s"] = round(fit_wall, 2)
+    out["fit_phase_walls"] = engine.last_phase_walls
+    fit_dev = (out.get("fit_phase_walls") or {}).get(
+        "guided_s", max(fit_wall - inversion_wall, 1e-6)
+    )
     phase_tflops["fit_step"] = round(
-        3.0 * flops_fwd * n_steps / max(fit_wall - inversion_wall, 1e-6) / 1e12,
-        1,
+        3.0 * flops_fwd * n_steps / max(fit_dev, 1e-6) / 1e12, 1
     )
 
     out["phase_tflops"] = phase_tflops

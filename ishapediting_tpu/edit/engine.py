@@ -27,6 +27,7 @@ from __future__ import annotations
 import copy
 import os
 import threading
+import time
 import warnings
 from functools import partial
 from typing import Callable, Dict, Optional
@@ -67,6 +68,19 @@ from ishapediting_tpu.models.unet import (
     unet_apply,
 )
 from ishapediting_tpu.ops.triplane import decode_grid, init_decoder_params
+
+
+def _await_device(*arrays) -> None:
+    """Completion barrier for wall-clock attribution: fetch one scalar
+    derived from each array. ``jax.block_until_ready`` does not block on the
+    tunneled backend (docs/PERF.md "Backend gotchas"), so phase timers force
+    a tiny slice-sum fetch instead — one scalar transfer per array, no
+    full-buffer traffic."""
+    for a in arrays:
+        if a is None or not hasattr(a, "ndim"):
+            continue
+        sl = a[(slice(0, 1),) * a.ndim] if a.ndim else a
+        float(np.asarray(jnp.sum(sl.astype(jnp.float32))))
 
 
 def latent_to_nchw(latent_nhwc: np.ndarray) -> np.ndarray:
@@ -133,6 +147,13 @@ class DragEngine:
         self.edited_latent: Optional[np.ndarray] = None  # last drag result
         # per-step guidance losses of the last drag_edit ({"motion","mask"})
         self.last_drag_losses: Optional[Dict[str, np.ndarray]] = None
+        # wall-clock attribution of the last public call: latent_inversion /
+        # drag_edit / fit_real_shape fill last_phase_walls (with a "path"
+        # tag); every get_mesh fills last_mesh_walls with its own breakdown.
+        # Pure observability — tiny scalar-fetch barriers only, no extra
+        # buffer traffic (see _await_device).
+        self.last_phase_walls: Optional[Dict[str, float]] = None
+        self.last_mesh_walls: Optional[Dict[str, float]] = None
         # device-marching health: set when the fused decode+march program
         # fails to lower or overflows capacity twice in a row; pins the
         # engine to the host path until clear_params()
@@ -311,6 +332,7 @@ class DragEngine:
         slabs pulled by concurrent threads (identical bytes; the tunnel
         multiplexes streams — measured in tools/probe_fetch.py)."""
         res = res or self.config.edit.shape_resolution
+        t0 = time.perf_counter()
         planes = latent_to_planes(
             jnp.asarray(latent, jnp.float32).reshape((1,) + self.config.latent_shape),
             self.half_range,
@@ -319,6 +341,9 @@ class DragEngine:
         grid = decode_grid(
             self.decoder_params, planes, res=res, out_dtype=jnp.float16
         )
+        _await_device(grid)
+        decode_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         try:
             k = int(os.environ.get("ISHAPE_FETCH_SLABS", "1"))
         except ValueError:
@@ -335,6 +360,10 @@ class DragEngine:
             host = np.concatenate(parts, axis=0)
         else:
             host = np.asarray(grid)
+        self._last_decode_walls = {
+            "decode_device_s": round(decode_s, 3),
+            "grid_fetch_s": round(time.perf_counter() - t0, 3),
+        }
         return host.astype(np.float32)
 
     def get_mesh(
@@ -354,6 +383,8 @@ class DragEngine:
         latent = jnp.asarray(latent, jnp.float32).reshape(
             (1,) + self.config.latent_shape
         )
+        walls: Dict[str, float] = {}
+        t_all = time.perf_counter()
         if t > 0:
             fn = self._jit(
                 ("finish_steps",),
@@ -361,13 +392,17 @@ class DragEngine:
                     self._finish_steps_fn, static_argnames=("t_start",)
                 ),
             )
+            t0 = time.perf_counter()
             latent = fn(self.unet_params, latent, jax.random.PRNGKey(1234), t_start=t)
+            _await_device(latent)
+            walls["finish_steps_s"] = round(time.perf_counter() - t0, 3)
         mesh = None
         res_eff = res or self.config.edit.shape_resolution
         # res > 512 would overflow the int32 edge-key packing
         # (ops/marching.py: keys = corner*16 + rank, max (512^3-1)*16+15 =
         # INT32_MAX); the float64 host path has no such bound.
         if res_eff <= 512 and self._march_on_device():
+            t0 = time.perf_counter()
             try:
                 mesh = self._decode_mesh_device(latent, res=res)  # None on overflow
                 if mesh is None:
@@ -404,11 +439,23 @@ class DragEngine:
                 )
                 if sticky:
                     self._device_march_broken = True
+            walls["device_march_s"] = round(time.perf_counter() - t0, 3)
         if mesh is None:
             grid = self.decode_latent_grid(latent, res=res)
+            walls.update(self._last_decode_walls)
+            t0 = time.perf_counter()
             mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
+            walls["march_host_s"] = round(time.perf_counter() - t0, 3)
+            walls["impl"] = "host"
+        else:
+            walls["impl"] = "device"
         if smooth > 0:
+            t0 = time.perf_counter()
             mesh = mesh.filter_smooth_simple(smooth)
+            walls["smooth_s"] = round(time.perf_counter() - t0, 3)
+        walls["n_verts"] = len(mesh.vertices)
+        walls["total_s"] = round(time.perf_counter() - t_all, 3)
+        self.last_mesh_walls = walls
         return mesh
 
     def _march_on_device(self) -> bool:
@@ -565,6 +612,7 @@ class DragEngine:
         t = w_time
         stop_time = 0
         motion_hist, mask_hist = [], []
+        t_all = time.perf_counter()
 
         def pad_chunk(arr):
             """[n, ...] -> [chunk, ...] by repeating the last entry; keeps the
@@ -631,7 +679,15 @@ class DragEngine:
             if mask_hist else np.zeros(0, np.float32),
         }
         self.edited_latent = np.asarray(img)
+        device_s = time.perf_counter() - t_all
+        t0 = time.perf_counter()
         self.mesh = self.get_mesh(img, t=stop_time)
+        self.last_phase_walls = {
+            "path": "drag",
+            "device_s": round(device_s, 3),
+            "mesh_s": round(time.perf_counter() - t0, 3),
+            "total_s": round(time.perf_counter() - t_all, 3),
+        }
         return self.mesh
 
     def drag_loss_summary(self) -> Optional[Dict[str, float]]:
@@ -714,7 +770,9 @@ class DragEngine:
         if center_mesh:
             mesh = mesh.copy().normalize_unit_cube()
 
+        t_all = time.perf_counter()
         points, occ = sample_training_points(mesh, self.config.fit, seed=seed)
+        points_s = time.perf_counter() - t_all
         mf = self._model_fn_p(feat=False, remat=self.remat)
         fit = self._jit(
             ("fit_guided",),
@@ -735,16 +793,28 @@ class DragEngine:
                 )
             ),
         )
+        t0 = time.perf_counter()
         latent = fit(
             self.unet_params, self.decoder_params,
             jnp.asarray(points), jnp.asarray(occ), jax.random.PRNGKey(seed),
         )
+        _await_device(latent)
+        guided_s = time.perf_counter() - t0
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "tri_feat.npy"), latent_to_nchw(latent))
         self.clear_params()
         # latent_inversion decodes the replayed sample (== latent exactly, by
         # the replay identity) — one decode serves both mesh and mesh0.
         self.latent_inversion(latent)
+        nested = self.last_phase_walls or {}
+        self.last_phase_walls = {
+            "path": "fit",
+            "points_s": round(points_s, 3),
+            "guided_s": round(guided_s, 3),
+            "inversion_device_s": nested.get("device_s", 0.0),
+            "mesh_s": nested.get("mesh_s", 0.0),
+            "total_s": round(time.perf_counter() - t_all, 3),
+        }
         self.mesh0.write(os.path.join(path, "mesh_recon.obj"))
 
     def fit_real_shape_direct(
@@ -808,7 +878,10 @@ class DragEngine:
         latent = jnp.asarray(latent, jnp.float32).reshape(
             (1,) + self.config.latent_shape
         )
+        t_all = time.perf_counter()
         out = fn(self.unet_params, latent, jax.random.PRNGKey(seed))
+        _await_device(out["latent"], out["features"], out["variance_noise"])
+        device_s = time.perf_counter() - t_all
         self.w = out["latent"]
         self.w0 = self.w
         # ddpm_inversion returns [steps, B, ...]; the engine is single-shape
@@ -818,8 +891,15 @@ class DragEngine:
         self.feature_guidance = out["features"][:, 0]
         self.variances = out["variances"]
         self.variance_noise = out["variance_noise"]
+        t0 = time.perf_counter()
         self.mesh = self.get_mesh(out["sample"])
         self.mesh0 = copy.deepcopy(self.mesh)
+        self.last_phase_walls = {
+            "path": "inversion",
+            "device_s": round(device_s, 3),
+            "mesh_s": round(time.perf_counter() - t0, 3),
+            "total_s": round(time.perf_counter() - t_all, 3),
+        }
 
     # ------------------------------------------------------------------
     # Session state (reference: drag_utils.py:568-583)

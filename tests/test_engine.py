@@ -256,3 +256,42 @@ def test_bf16_feature_store(engine):
     lat = np.asarray(eng16.latent_code)
     eng16.latent_inversion(lat, seed=1)
     assert eng16.feature_guidance.dtype == jnp.bfloat16
+
+
+def test_phase_wall_attribution(engine, tmp_path):
+    """Every public product call attributes its wall-clock: device scan vs
+    mesh tail (engine.last_phase_walls), and get_mesh records its own
+    breakdown (engine.last_mesh_walls). bench.py surfaces both in the
+    driver detail, so the keys and invariants here are load-bearing."""
+    x0 = engine.update_latent_params(seed=11)
+
+    engine.latent_inversion(jnp.asarray(x0), seed=1)
+    walls = engine.last_phase_walls
+    assert walls["path"] == "inversion"
+    assert walls["device_s"] >= 0 and walls["mesh_s"] >= 0
+    assert walls["total_s"] >= walls["device_s"]
+    mesh_walls = engine.last_mesh_walls
+    assert mesh_walls["impl"] in ("host", "device")
+    assert mesh_walls["n_verts"] == len(engine.mesh.vertices)
+    if mesh_walls["impl"] == "host":  # CPU always takes the host path
+        for key in ("decode_device_s", "grid_fetch_s", "march_host_s",
+                    "smooth_s", "total_s"):
+            assert mesh_walls[key] >= 0
+
+    src = np.array([[0.2, 0.0, 0.0]], np.float32)
+    tgt = np.array([[0.4, 0.0, 0.0]], np.float32)
+    engine.drag_edit(src, tgt, scale=50.0, cof=0.2, chunk=3)
+    assert engine.last_phase_walls["path"] == "drag"
+    assert engine.last_phase_walls["device_s"] >= 0
+
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 20)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sphere = grid_to_mesh((0.5 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+    engine.fit_real_shape(mesh=sphere, path=str(tmp_path), seed=0)
+    walls = engine.last_phase_walls
+    assert walls["path"] == "fit"
+    for key in ("points_s", "guided_s", "inversion_device_s", "mesh_s"):
+        assert walls[key] >= 0
+    assert walls["total_s"] >= walls["guided_s"]
