@@ -20,11 +20,11 @@ quantity, measured through the REAL engine product paths at full scale
 - ``phase_tflops``     — per-phase effective TF/s against the 141 TF/s
                          measured matmul ceiling (docs/PERF.md)
 - ``mesh_tail_*``      — device-side marching tetrahedra (grid stays in
-                         HBM, count-sized payload fetch) vs the host path
-                         (33 MB fp16 grid fetch + native marching) on a
-                         realistic smooth surface (the engine walls use the
-                         host path: the random-weight field is fragmented
-                         beyond any realistic marching capacity)
+                         HBM, two-round-trip packed payload fetch) vs the
+                         host path (33 MB fp16 grid fetch + native marching)
+                         isolated on a smooth sphere; the engine walls run
+                         the product auto-select (device off-CPU, overflow
+                         fallback to host — ``*_mesh_walls.impl`` says which)
 - ``quality``          — BASELINE.md quantity (d): inversion-replay
                          Chamfer/IoU, guided-drag motion-loss reduction,
                          edit locality IoU — measured on the committed
@@ -35,8 +35,9 @@ quantity, measured through the REAL engine product paths at full scale
 Random weights (no assets in this environment) time identically to trained
 ones for every device path; to keep the HOST decode path honest too (random
 decoders produce noise fields that marching would explode on), the decoder's
-output bias is shifted so ~1.5%% of voxels are positive — a compact blobby
-surface with a realistic active-cell count.
+output bias is shifted so ~0.1%% of voxels are positive — matching the
+active-cell density trained decoders produce (same density as the
+bench_mesh_tail realistic surface).
 
 ``vs_baseline``: ratio to an estimated A100 PyTorch-fp16 eager reference.
 The reference repo publishes no numbers (BASELINE.md), so the estimate is
@@ -133,7 +134,7 @@ def _fetch_scalar(x):
 
 
 def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
-                        cfg=None, remat: bool = True, deadline: float = None):
+                        cfg=None, remat: bool = False, deadline: float = None):
     """Fail-soft wrapper: a mid-bench failure (e.g. the tunnel dying after
     the headline sampling metric was already measured) must not lose the
     whole JSON line — return whatever was measured plus ``product_error``."""
@@ -148,7 +149,7 @@ def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
 
 
 def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
-                         cfg=None, remat: bool = True, deadline: float = None):
+                         cfg=None, remat: bool = False, deadline: float = None):
     """Time the real engine edit/inversion/fit paths at full scale.
 
     Mutates ``out`` in place (partial results survive an exception in the
@@ -177,13 +178,14 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     if cfg is None:
         cfg = PipelineConfig()  # 200-step respacing, w_time=170, 256^3 decode
     engine = DragEngine(cfg, seed=0, remat=remat)
-    # Pin the engine walls to the host mesh path: the random-weight decoder's
-    # field is fragmented (~3.5x any realistic active-cell count), so device
-    # marching would overflow its capacity on every call and the walls would
-    # pay a wasted device attempt before falling back. The device-vs-host
-    # mesh tail is measured separately below on a realistic smooth surface
-    # (``mesh_tail_*``), which is the workload trained decoders produce.
-    engine._device_march_broken = True
+    # The engine walls run the engine's own mesh-path auto-select (device
+    # marching off-CPU, with the capacity-overflow fallback to host). At the
+    # 0.1%-inside calibration below the fragmented field's triangle count
+    # fits the device capacities, so this measures the real product default;
+    # if a pathological draw overflows, the engine's fallback keeps the
+    # walls honest and ``*_mesh_walls.impl`` in the detail says which path
+    # ran. The device-vs-host tail is additionally isolated on a smooth
+    # sphere below (``mesh_tail_*``).
     latent = jax.random.normal(
         jax.random.PRNGKey(1), (1,) + cfg.latent_shape, jnp.float32
     )
@@ -205,7 +207,12 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     fetch_s = time.perf_counter() - t0
     # shift the decoder output bias so ~1.5% of voxels are inside — a
     # compact surface with a realistic marching load
-    q = float(np.quantile(grid, 0.985))
+    # 0.1% of voxels inside matches the active-cell density of trained
+    # decoders (bench_mesh_tail's realistic surface, and the reference's
+    # shipped checkpoints): at the former 1.5% the fragmented random field
+    # welded to 3.38M verts — ~14x any real product mesh — and the walls
+    # were ~75% host mesh tail (probe_walls r04, docs/PERF.md)
+    q = float(np.quantile(grid, 0.999))
     engine.decoder_params = dict(engine.decoder_params)
     engine.decoder_params["dense3"] = {
         "w": engine.decoder_params["dense3"]["w"],
@@ -332,6 +339,8 @@ def bench_mesh_tail(res: int) -> dict:
         assemble_mesh,
         default_capacities,
         marching_tets_device,
+        pack_march_output,
+        unpack_march_payload,
     )
 
     max_cells, max_tris = default_capacities(res)
@@ -345,23 +354,23 @@ def bench_mesh_tail(res: int) -> dict:
     grid = 0.4 - jnp.sqrt(x * x + y * y + z * z)
 
     march = jax.jit(
-        lambda g: marching_tets_device(
-            g, 0.0, max_cells=max_cells, max_tris=max_tris
+        lambda g: pack_march_output(
+            marching_tets_device(
+                g, 0.0, max_cells=max_cells, max_tris=max_tris
+            )
         )
     )
-    int(march(grid)["n_tris"])  # warm (compile + first run)
+    int(np.asarray(march(grid)["counts"])[1])  # warm (compile + first run)
     t0 = time.perf_counter()
     out = march(grid)
-    n_cells = int(out["n_cells"])
-    n_tris = int(out["n_tris"])
+    n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
     if n_cells > max_cells or n_tris > max_tris:
         # the payload buffers are truncated past capacity; a partial mesh
         # would silently misreport the tail metrics (ops/marching.py:
         # "overflow ... never truncates")
         return {"mesh_tail_overflow": f"cells={n_cells} tris={n_tris}"}
-    mesh_dev = assemble_mesh(
-        np.asarray(out["keys"][:n_tris]), np.asarray(out["tvals"][:n_tris]), res
-    )
+    keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
+    mesh_dev = assemble_mesh(keys, tvals, res)
     device_s = time.perf_counter() - t0
 
     grid_fn = jax.jit(lambda g: g.astype(jnp.float16))

@@ -100,8 +100,14 @@ class DragEngine:
         decoder_params: Optional[Dict] = None,
         stats: Optional[TriplaneStats] = None,
         seed: int = 0,
-        remat: bool = True,
+        remat: bool = False,
     ):
+        # remat default: OFF. The engine's guided paths run at batch 1,
+        # where the full-scale UNet fwd+bwd fits HBM comfortably and remat
+        # only costs compute — measured on-chip 4.04 s vs 4.63 s for the
+        # 170-step drag (tools/probe_walls.py, docs/PERF.md "Wall
+        # attribution"). Pass remat=True for memory-constrained variants
+        # (e.g. large-batch engines sharing a chip).
         self.config = config or PipelineConfig()
         rng = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(rng)
@@ -154,6 +160,7 @@ class DragEngine:
         # buffer traffic (see _await_device).
         self.last_phase_walls: Optional[Dict[str, float]] = None
         self.last_mesh_walls: Optional[Dict[str, float]] = None
+        self._last_decode_walls: Dict[str, float] = {}
         # device-marching health: set when the fused decode+march program
         # fails to lower or overflows capacity twice in a row; pins the
         # engine to the host path until clear_params()
@@ -481,6 +488,8 @@ class DragEngine:
             assemble_mesh,
             default_capacities,
             marching_tets_device,
+            pack_march_output,
+            unpack_march_payload,
         )
 
         res = res or self.config.edit.shape_resolution
@@ -499,25 +508,26 @@ class DragEngine:
                 grid = decode_grid(
                     dec, planes, res=res, out_dtype=jnp.float16
                 ).astype(jnp.float32)
-                return marching_tets_device(
-                    grid, 0.0, max_cells=max_cells, max_tris=max_tris
+                # packed output: two host round trips total (counts +
+                # payload slab) instead of four — round-trip latency was
+                # most of the device path's cost on the tunneled backend
+                return pack_march_output(
+                    marching_tets_device(
+                        grid, 0.0, max_cells=max_cells, max_tris=max_tris
+                    )
                 )
 
             return jax.jit(run)
 
         fn = self._jit(("decode_march", res, max_cells, max_tris), build)
         out = fn(self.decoder_params, latent, self.half_range, self.middle)
-        n_cells = int(out["n_cells"])
-        n_tris = int(out["n_tris"])
+        n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
         if n_cells > max_cells or n_tris > max_tris:
             return None
         if n_tris == 0:
             return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-        mesh = assemble_mesh(
-            np.asarray(out["keys"][:n_tris]),
-            np.asarray(out["tvals"][:n_tris]),
-            res,
-        )
+        keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
+        mesh = assemble_mesh(keys, tvals, res)
         mesh.vertices = mesh.vertices / res * 2.0 - 1.0
         return mesh
 

@@ -210,6 +210,40 @@ def marching_tets_device(
     return {"keys": keys, "tvals": t, "n_cells": n_cells, "n_tris": n_tris}
 
 
+def pack_march_output(out: dict) -> dict:
+    """Pack the kernel output for MINIMAL host round trips (traced, call
+    inside the jit program that ran ``marching_tets_device``).
+
+    The unpacked dict costs four round trips to consume (n_cells, n_tris,
+    keys, tvals) — at ~0.4 s tunnel latency each that is more than the
+    payload bytes themselves (docs/PERF.md "Harness quirk"). Packed form:
+    ``counts`` = [n_cells, n_tris] (one tiny fetch) and ``payload`` =
+    [max_tris, 6] int32 with tvals bitcast into the last three columns
+    (one count-sized fetch of ``payload[:n_tris]``)."""
+    counts = jnp.stack(
+        [out["n_cells"].astype(jnp.int32), out["n_tris"].astype(jnp.int32)]
+    )
+    payload = jnp.concatenate(
+        [
+            out["keys"].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                out["tvals"].astype(jnp.float32), jnp.int32
+            ),
+        ],
+        axis=1,
+    )
+    return {"counts": counts, "payload": payload}
+
+
+def unpack_march_payload(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of ``pack_march_output``: split a fetched
+    ``payload[:n_tris]`` slab into (keys [n,3] int32, tvals [n,3] f32)."""
+    rows = np.asarray(rows, np.int32)
+    keys = rows[:, :3]
+    tvals = np.ascontiguousarray(rows[:, 3:]).view(np.float32)
+    return keys, tvals
+
+
 def assemble_mesh(
     keys: np.ndarray, tvals: np.ndarray, res: int
 ) -> TriMesh:
@@ -260,19 +294,19 @@ def device_grid_to_mesh(
     key = (r, iso, max_cells, max_tris, str(grid.dtype))
     if key not in _jit_cache:
         _jit_cache[key] = jax.jit(
-            lambda g: marching_tets_device(
-                g, iso, max_cells=max_cells, max_tris=max_tris
+            lambda g: pack_march_output(
+                marching_tets_device(
+                    g, iso, max_cells=max_cells, max_tris=max_tris
+                )
             )
         )
     out = _jit_cache[key](grid)
-    n_cells = int(out["n_cells"])
-    n_tris = int(out["n_tris"])
+    n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
     if n_cells > max_cells or n_tris > max_tris:
         return None
     if n_tris == 0:
         return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-    keys = np.asarray(out["keys"][:n_tris])
-    tvals = np.asarray(out["tvals"][:n_tris])
+    keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
     mesh = assemble_mesh(keys, tvals, r)
     if to_unit:
         mesh.vertices = mesh.vertices / r * 2.0 - 1.0

@@ -273,3 +273,33 @@ def test_engine_res_guard_skips_device_path(monkeypatch):
 def test_default_capacities_margin():
     mc, mt = default_capacities(256)
     assert mc >= 500_000 and mt == 3 * mc
+
+
+def test_pack_unpack_roundtrip_exact():
+    """pack_march_output/unpack_march_payload must be bit-exact: keys pass
+    through as int32 and tvals via int32 bitcast (two host round trips on
+    the tunneled backend instead of four — ops/marching.py)."""
+    import jax
+
+    from ishapediting_tpu.ops.marching import (
+        marching_tets_device,
+        pack_march_output,
+        unpack_march_payload,
+    )
+
+    g = jnp.asarray(_blob_grid(20))
+    mc, mt = default_capacities(20)
+    raw = jax.jit(
+        lambda x: marching_tets_device(x, 0.0, max_cells=mc, max_tris=mt)
+    )(g)
+    packed = jax.jit(
+        lambda x: pack_march_output(
+            marching_tets_device(x, 0.0, max_cells=mc, max_tris=mt)
+        )
+    )(g)
+    counts = np.asarray(packed["counts"])
+    assert counts[0] == int(raw["n_cells"]) and counts[1] == int(raw["n_tris"])
+    n = int(counts[1])
+    keys, tvals = unpack_march_payload(np.asarray(packed["payload"][:n]))
+    np.testing.assert_array_equal(keys, np.asarray(raw["keys"][:n]))
+    np.testing.assert_array_equal(tvals, np.asarray(raw["tvals"][:n]))
