@@ -276,6 +276,7 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     edit_wall = time.perf_counter() - t0
     out["edit_wall_s"] = round(edit_wall, 2)
     out["edit_phase_walls"] = engine.last_phase_walls
+    out["edit_mesh_walls"] = engine.last_mesh_walls
 
     # --- mesh-only wall (shared tail of both paths above) ----------------
     t0 = time.perf_counter()
