@@ -246,6 +246,14 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     t0 = time.perf_counter()
     engine.latent_inversion(latent, seed=2)
     out["inversion_wall_cold_s"] = round(time.perf_counter() - t0, 2)
+    # settle the adaptive march capacity: the first mesh above ran at the
+    # default rung and recorded the surface's true counts; this untimed call
+    # compiles the right-size rung (ops/marching.py::capacity_ladder) so the
+    # warm walls below measure the settled program, not its one-time compile
+    t0 = time.perf_counter()
+    engine.get_mesh(latent)
+    out["march_settle_s"] = round(time.perf_counter() - t0, 2)
+    out["march_settle_walls"] = engine.last_mesh_walls
     t0 = time.perf_counter()
     engine.latent_inversion(latent, seed=3)
     inversion_wall = time.perf_counter() - t0

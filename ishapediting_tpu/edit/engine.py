@@ -30,7 +30,7 @@ import threading
 import time
 import warnings
 from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,12 @@ class DragEngine:
         self._device_march_broken = False
         self._march_overflows = 0
         self._march_failures = 0
+        # true (n_cells, n_tris) of the last successful device march: the
+        # kernel's warm wall is capacity-proportional (ops/marching.py::
+        # default_capacities), so later meshes in a session run at the
+        # smallest capacity rung that fits 1.5x the last counts
+        self._march_hint: Optional[Tuple[int, int]] = None
+        self._last_march_stats: Dict[str, int] = {}
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
@@ -413,11 +419,12 @@ class DragEngine:
             try:
                 mesh = self._decode_mesh_device(latent, res=res)  # None on overflow
                 if mesh is None:
-                    # Capacity overflow is data-dependent (a fragmented field
-                    # activates far more cells than a surface). One overflow
-                    # may be a pathological latent; two in a row means the
-                    # workload itself doesn't fit — stop paying the wasted
-                    # device attempt (ISHAPE_MARCH_IMPL=device re-forces it).
+                    # None now means even the TOP capacity rung overflowed
+                    # (res^3/8 cells — a heavily fragmented field, not a
+                    # surface). One may be a pathological latent; two in a
+                    # row means the workload itself doesn't fit — stop
+                    # paying the wasted device attempts
+                    # (ISHAPE_MARCH_IMPL=device re-forces it).
                     self._march_overflows += 1
                     if self._march_overflows >= 2:
                         warnings.warn(
@@ -456,6 +463,7 @@ class DragEngine:
             walls["impl"] = "host"
         else:
             walls["impl"] = "device"
+            walls.update(self._last_march_stats)
         if smooth > 0:
             t0 = time.perf_counter()
             mesh = mesh.filter_smooth_simple(smooth)
@@ -486,21 +494,38 @@ class DragEngine:
         fixed capacity overflowed (caller falls back to the host path)."""
         from ishapediting_tpu.ops.marching import (
             assemble_mesh,
+            capacity_ladder,
             default_capacities,
             marching_tets_device,
             pack_march_output,
+            pick_capacity,
             unpack_march_payload,
         )
 
         res = res or self.config.edit.shape_resolution
-        max_cells, max_tris = default_capacities(res)
+        ladder = capacity_ladder(res)
+        # Capacity selection: the kernel's warm wall is proportional to
+        # max_cells (docs/PERF.md "march capacity sweep"), so run at the
+        # smallest rung that fits 1.5x the last successful counts; without a
+        # hint, start at the measured-safe default. An overflow climbs the
+        # ladder (the counts fetch is exact for cells, an undercount for
+        # tris — pick_capacity's strict-climb contract) instead of dropping
+        # to the host path; each rung is a separate compile, cached per
+        # engine, so a session settles onto its right-size program.
+        if self._march_hint is not None:
+            hc, ht = self._march_hint
+            max_cells = pick_capacity(
+                ladder, int(1.5 * hc) + 1, int(1.5 * ht) + 1
+            ) or ladder[-1]
+        else:
+            max_cells = default_capacities(res)[0]
         # accept the same latent shapes the host path does (a flat or
         # unbatched latent reshapes identically in decode_latent_grid)
         latent = jnp.asarray(latent, jnp.float32).reshape(
             (1,) + self.config.latent_shape
         )
 
-        def build():
+        def build(max_cells, max_tris):
             def run(dec, lat, half_range, middle):
                 planes = latent_to_planes(lat, half_range, middle)
                 # quantize through fp16 exactly like the host path's fetch
@@ -517,13 +542,29 @@ class DragEngine:
                     )
                 )
 
-            return jax.jit(run)
+            return lambda: jax.jit(run)
 
-        fn = self._jit(("decode_march", res, max_cells, max_tris), build)
-        out = fn(self.decoder_params, latent, self.half_range, self.middle)
-        n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
-        if n_cells > max_cells or n_tris > max_tris:
-            return None
+        attempts = 0
+        while True:
+            max_tris = 3 * max_cells
+            fn = self._jit(
+                ("decode_march", res, max_cells, max_tris),
+                build(max_cells, max_tris),
+            )
+            out = fn(self.decoder_params, latent, self.half_range, self.middle)
+            n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
+            attempts += 1
+            if n_cells <= max_cells and n_tris <= max_tris:
+                break
+            nxt = pick_capacity(ladder, n_cells, n_tris, min_cells=max_cells)
+            if nxt is None:
+                return None  # beyond the top rung: host path handles it
+            max_cells = nxt
+        self._march_hint = (n_cells, n_tris)
+        self._last_march_stats = {
+            "march_capacity": max_cells,
+            "march_attempts": attempts,
+        }
         if n_tris == 0:
             return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
         keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
@@ -929,6 +970,7 @@ class DragEngine:
         self._device_march_broken = False
         self._march_overflows = 0
         self._march_failures = 0
+        self._march_hint = None
 
     def reset_params(self) -> None:
         if self.mesh0 is not None:

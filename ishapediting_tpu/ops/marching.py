@@ -66,10 +66,43 @@ def _deltas_for_res(res: int) -> np.ndarray:
 
 def default_capacities(res: int) -> Tuple[int, int]:
     """(max_cells, max_tris). Realistic surfaces activate <1% of cells
-    (measured ~0.7% at the bench's 1.5%-inside calibration); 1/32 ~ 3.1%
-    gives >4x margin. Overflow is detected and falls back, never truncates."""
-    max_cells = max(res**3 // 32, 8192)
+    (measured ~0.7% at the bench's 0.1%-inside calibration); 1/64 ~ 1.6%
+    gives >2x margin. The kernel's warm wall is capacity-proportional
+    (tools/probe_march_cap.py on-chip: 1.78 s at 1/32, 1.14 s at 1/64,
+    0.73 s at 1/128 for the same 293k-tri surface), so the default sits at
+    the smallest rung that still clears typical loads comfortably; the
+    engine recovers an overflow by climbing ``capacity_ladder`` instead of
+    abandoning the device path. Overflow is detected, never truncated."""
+    max_cells = max(res**3 // 64, 8192)
     return max_cells, 3 * max_cells
+
+
+def capacity_ladder(res: int) -> Tuple[int, ...]:
+    """Ascending ``max_cells`` rungs for adaptive capacity selection
+    (``max_tris`` is always ``3 * max_cells``). Spans 1/256 of the grid's
+    cells (a small in-session surface) up to 1/8 (a heavily fragmented
+    field — anything larger belongs on the float64 host path anyway)."""
+    return tuple(sorted({max(res**3 // div, 8192)
+                         for div in (256, 128, 64, 32, 16, 8)}))
+
+
+def pick_capacity(
+    ladder: Tuple[int, ...], n_cells: int, n_tris: int,
+    min_cells: int = 0,
+) -> Optional[int]:
+    """Smallest rung holding ``n_cells`` active cells / ``n_tris`` triangles
+    (at the fixed 3x tris ratio), or None when even the top rung is too
+    small. ``min_cells`` excludes rungs <= an overflowed capacity so a retry
+    always climbs strictly (the kernel's ``n_tris`` UNDERCOUNTS when cells
+    overflowed — it only sees the first ``max_cells`` compacted cells — so
+    a rung chosen from it may overflow again; strict climb guarantees the
+    walk terminates at the ladder top)."""
+    for rung in ladder:
+        if rung <= min_cells:
+            continue
+        if rung >= n_cells and 3 * rung >= n_tris:
+            return rung
+    return None
 
 
 def marching_tets_device(

@@ -271,8 +271,62 @@ def test_engine_res_guard_skips_device_path(monkeypatch):
 
 
 def test_default_capacities_margin():
+    # measured-safe default: 1/64 of cells, ~2x the ~0.7% active cells of a
+    # realistic surface (tools/probe_march_cap.py); overflow climbs
+    # capacity_ladder on-device instead of dropping to the host path
     mc, mt = default_capacities(256)
-    assert mc >= 500_000 and mt == 3 * mc
+    assert mc == 256**3 // 64 and mt == 3 * mc
+
+
+def test_capacity_ladder_and_pick():
+    from ishapediting_tpu.ops.marching import capacity_ladder, pick_capacity
+
+    ladder = capacity_ladder(256)
+    assert list(ladder) == sorted(set(ladder))
+    assert ladder[0] == 256**3 // 256 and ladder[-1] == 256**3 // 8
+    assert pick_capacity(ladder, 1, 1) == ladder[0]
+    assert pick_capacity(ladder, ladder[0] + 1, 1) == ladder[1]
+    # the fixed 3x tris ratio bounds the pick too
+    assert pick_capacity(ladder, 1, 3 * ladder[0] + 1) == ladder[1]
+    # strict climb above an overflowed capacity (kernel tris undercount)
+    assert pick_capacity(ladder, 1, 1, min_cells=ladder[0]) == ladder[1]
+    assert pick_capacity(ladder, 256**3, 1) is None
+    # small grids collapse onto the 8192-cell floor
+    assert capacity_ladder(16) == (8192,)
+
+
+def test_engine_adaptive_capacity(monkeypatch):
+    """Overflowing the starting capacity climbs the ladder ON DEVICE
+    (instead of falling back to host), and the next get_mesh starts at the
+    settled rung via the session hint."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import ishapediting_tpu.ops.marching as M
+    import jax
+
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "host")
+    host_mesh = engine.get_mesh(latent, smooth=0)
+    n_tris = len(host_mesh.triangles)
+    assert n_tris > 3
+    # bottom rung too small for the surface's triangles, top rung fits
+    lo = max(n_tris // 6, 1)
+    monkeypatch.setattr(M, "capacity_ladder", lambda res: (lo, 8192))
+    monkeypatch.setattr(M, "default_capacities", lambda res: (lo, 3 * lo))
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    dev_mesh = engine.get_mesh(latent, smooth=0)
+    walls = engine.last_mesh_walls
+    assert walls["impl"] == "device"
+    assert walls["march_attempts"] == 2 and walls["march_capacity"] == 8192
+    assert len(dev_mesh.triangles) == n_tris
+    assert engine._march_overflows == 0  # recovered, not a host fallback
+    # session hint: the next mesh starts at the settled rung, no retry
+    engine.get_mesh(latent, smooth=0)
+    walls = engine.last_mesh_walls
+    assert walls["march_attempts"] == 1 and walls["march_capacity"] == 8192
 
 
 def test_pack_unpack_roundtrip_exact():
