@@ -514,11 +514,12 @@ class DragEngine:
         # engine, so a session settles onto its right-size program.
         if self._march_hint is not None:
             hc, ht = self._march_hint
-            max_cells = pick_capacity(
+            picked = pick_capacity(
                 ladder, int(1.5 * hc) + 1, int(1.5 * ht) + 1
-            ) or ladder[-1]
+            )
+            max_cells, max_tris = picked or (ladder[-1], 3 * ladder[-1])
         else:
-            max_cells = default_capacities(res)[0]
+            max_cells, max_tris = default_capacities(res)
         # accept the same latent shapes the host path does (a flat or
         # unbatched latent reshapes identically in decode_latent_grid)
         latent = jnp.asarray(latent, jnp.float32).reshape(
@@ -546,7 +547,6 @@ class DragEngine:
 
         attempts = 0
         while True:
-            max_tris = 3 * max_cells
             fn = self._jit(
                 ("decode_march", res, max_cells, max_tris),
                 build(max_cells, max_tris),
@@ -556,13 +556,21 @@ class DragEngine:
             attempts += 1
             if n_cells <= max_cells and n_tris <= max_tris:
                 break
-            nxt = pick_capacity(ladder, n_cells, n_tris, min_cells=max_cells)
+            # climb only the overflowed dimension(s) strictly; within one
+            # call the capacities never shrink (avoids compile churn)
+            nxt = pick_capacity(
+                ladder, n_cells, n_tris,
+                min_cells=max_cells if n_cells > max_cells else 0,
+                min_tris=max_tris if n_tris > max_tris else 0,
+            )
             if nxt is None:
                 return None  # beyond the top rung: host path handles it
-            max_cells = nxt
+            max_cells = max(max_cells, nxt[0])
+            max_tris = max(max_tris, nxt[1])
         self._march_hint = (n_cells, n_tris)
         self._last_march_stats = {
             "march_capacity": max_cells,
+            "march_tris_capacity": max_tris,
             "march_attempts": attempts,
         }
         if n_tris == 0:

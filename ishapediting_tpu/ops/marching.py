@@ -95,21 +95,29 @@ def capacity_ladder(res: int) -> Tuple[int, ...]:
 
 def pick_capacity(
     ladder: Tuple[int, ...], n_cells: int, n_tris: int,
-    min_cells: int = 0,
-) -> Optional[int]:
-    """Smallest rung holding ``n_cells`` active cells / ``n_tris`` triangles
-    (at the fixed 3x tris ratio), or None when even the top rung is too
-    small. ``min_cells`` excludes rungs <= an overflowed capacity so a retry
-    always climbs strictly (the kernel's ``n_tris`` UNDERCOUNTS when cells
-    overflowed — it only sees the first ``max_cells`` compacted cells — so
-    a rung chosen from it may overflow again; strict climb guarantees the
-    walk terminates at the ladder top)."""
-    for rung in ladder:
-        if rung <= min_cells:
-            continue
-        if rung >= n_cells and 3 * rung >= n_tris:
-            return rung
-    return None
+    min_cells: int = 0, min_tris: int = 0,
+) -> Optional[Tuple[int, int]]:
+    """Smallest ``(max_cells, max_tris)`` rung pair holding ``n_cells``
+    active cells and ``n_tris`` triangles, or None when even the top rungs
+    are too small. The two capacities are picked INDEPENDENTLY (tris rungs
+    are ``3 * ladder``): surfaces run 2-5 triangles per active cell, so a
+    fixed 3x ratio would let whichever bound binds bounce the other one a
+    full rung up (measured: the bench's realistic 256³ surface is
+    tris-bound at ~4 tris/cell and a coupled pick wastes 1.5x cells
+    capacity). ``min_cells``/``min_tris`` exclude rungs <= an overflowed
+    capacity so a retry always climbs strictly (the kernel's ``n_tris``
+    UNDERCOUNTS when cells overflowed — it only sees the first
+    ``max_cells`` compacted cells — so a pick from it may overflow again;
+    strict climb guarantees the walk terminates at the ladder top)."""
+    cells = next(
+        (r for r in ladder if r > min_cells and r >= n_cells), None
+    )
+    tris = next(
+        (3 * r for r in ladder if 3 * r > min_tris and 3 * r >= n_tris), None
+    )
+    if cells is None or tris is None:
+        return None
+    return cells, tris
 
 
 def marching_tets_device(

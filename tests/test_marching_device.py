@@ -284,13 +284,22 @@ def test_capacity_ladder_and_pick():
     ladder = capacity_ladder(256)
     assert list(ladder) == sorted(set(ladder))
     assert ladder[0] == 256**3 // 256 and ladder[-1] == 256**3 // 8
-    assert pick_capacity(ladder, 1, 1) == ladder[0]
-    assert pick_capacity(ladder, ladder[0] + 1, 1) == ladder[1]
-    # the fixed 3x tris ratio bounds the pick too
-    assert pick_capacity(ladder, 1, 3 * ladder[0] + 1) == ladder[1]
+    assert pick_capacity(ladder, 1, 1) == (ladder[0], 3 * ladder[0])
+    assert pick_capacity(ladder, ladder[0] + 1, 1) == (ladder[1], 3 * ladder[0])
+    # tris and cells pick independently: a tris-bound surface (>3 tris per
+    # active cell) must not bounce the cells capacity up with it
+    assert pick_capacity(ladder, 1, 3 * ladder[0] + 1) == (
+        ladder[0], 3 * ladder[1]
+    )
     # strict climb above an overflowed capacity (kernel tris undercount)
-    assert pick_capacity(ladder, 1, 1, min_cells=ladder[0]) == ladder[1]
+    assert pick_capacity(ladder, 1, 1, min_cells=ladder[0]) == (
+        ladder[1], 3 * ladder[0]
+    )
+    assert pick_capacity(ladder, 1, 1, min_tris=3 * ladder[0]) == (
+        ladder[0], 3 * ladder[1]
+    )
     assert pick_capacity(ladder, 256**3, 1) is None
+    assert pick_capacity(ladder, 1, 4 * 256**3) is None
     # small grids collapse onto the 8192-cell floor
     assert capacity_ladder(16) == (8192,)
 
@@ -320,13 +329,18 @@ def test_engine_adaptive_capacity(monkeypatch):
     dev_mesh = engine.get_mesh(latent, smooth=0)
     walls = engine.last_mesh_walls
     assert walls["impl"] == "device"
-    assert walls["march_attempts"] == 2 and walls["march_capacity"] == 8192
+    assert walls["march_attempts"] == 2
+    # only the overflowed tris capacity climbed; the cells capacity stays
+    # on its fitting rung (independent pick)
+    assert walls["march_capacity"] == lo
+    assert walls["march_tris_capacity"] == 3 * 8192
     assert len(dev_mesh.triangles) == n_tris
     assert engine._march_overflows == 0  # recovered, not a host fallback
-    # session hint: the next mesh starts at the settled rung, no retry
+    # session hint: the next mesh picks a fitting pair up front, no retry
     engine.get_mesh(latent, smooth=0)
     walls = engine.last_mesh_walls
-    assert walls["march_attempts"] == 1 and walls["march_capacity"] == 8192
+    assert walls["march_attempts"] == 1
+    assert walls["march_tris_capacity"] >= n_tris
 
 
 def test_pack_unpack_roundtrip_exact():
