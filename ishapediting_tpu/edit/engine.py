@@ -571,6 +571,8 @@ class DragEngine:
         self._last_march_stats = {
             "march_capacity": max_cells,
             "march_tris_capacity": max_tris,
+            "march_cells": n_cells,
+            "march_tris": n_tris,
             "march_attempts": attempts,
         }
         if n_tris == 0:

@@ -84,11 +84,9 @@ def capacity_ladder(res: int) -> Tuple[int, ...]:
     field — anything larger belongs on the float64 host path anyway).
     Rungs step by ~1.33x: the kernel wall is capacity-proportional
     (~2.7 µs / 1k cells, docs/PERF.md "march capacity sweep"), so a coarse
-    power-of-two ladder leaves up to 2x slack between a surface's counts
-    and its rung — e.g. the bench's realistic 256³ surface (~110k active
-    cells) lands at 165k with the 1.5x hint margin, just above the
-    res³/128 = 131k rung, and a power-of-two ladder would bounce it all
-    the way to res³/64 = 262k. Rungs compile only when selected."""
+    power-of-two ladder would leave up to 2x slack between a surface's
+    hinted counts and its rung; the finer steps halve the worst-case
+    slack. Rungs compile only when selected."""
     return tuple(sorted({max(res**3 // div, 8192)
                          for div in (256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8)}))
 
