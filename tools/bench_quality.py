@@ -46,7 +46,11 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from ishapediting_tpu.geometry.metrics import chamfer_distance, iou
+    from ishapediting_tpu.geometry.metrics import (
+        chamfer_distance,
+        hausdorff_distance,
+        iou,
+    )
     from tests.test_edit_gate import _unflatten
     from tools.make_edit_gate_asset import _engine_from_parts, locality_iou
 
@@ -67,6 +71,7 @@ def main():
     replayed = engine.mesh0
     replay_cd = chamfer_distance(original, replayed, point_num=50_000)
     replay_iou = iou(original, replayed, point_num=50_000)
+    replay_hd = hausdorff_distance(original, replayed, point_num=50_000)
 
     handle = original.vertices[np.argmax(original.vertices[:, 0])].astype(
         np.float32
@@ -129,6 +134,7 @@ def main():
                 "platform": "cpu-fp32",
                 "inversion_replay_cd": round(replay_cd, 8),
                 "inversion_replay_iou": round(replay_iou, 4),
+                "inversion_replay_hausdorff": round(replay_hd, 6),
                 "motion_loss_reduction": round(1.0 - motion / motion0, 4),
                 "recorded_reduction": round(
                     float(npz["achieved_reduction"]), 4
