@@ -196,8 +196,13 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
         lambda d, p: decode_grid(d, p, res=cfg.edit.shape_resolution,
                                  out_dtype=jnp.float16)
     )
+    # warm the EXACT fetch chain used by the timed call: the eager
+    # slice+sum programs compile per distinct slice shape, and on the
+    # tunneled backend those tiny compiles cost ~1-2 s — timed with a
+    # different warmup slice they masquerade as decode time (measured:
+    # 2.26 s first rep vs 0.054 s after, tools/probe logs r04)
     g = dec_fn(engine.decoder_params, planes)
-    _fetch_scalar(g[:1])
+    _fetch_scalar(g[:1, :1, :1])
     t0 = time.perf_counter()
     g = dec_fn(engine.decoder_params, planes)
     _fetch_scalar(g[:1, :1, :1])

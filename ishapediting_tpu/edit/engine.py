@@ -513,9 +513,14 @@ class DragEngine:
         # to the host path; each rung is a separate compile, cached per
         # engine, so a session settles onto its right-size program.
         if self._march_hint is not None:
+            # 1.2x margin over the last surface's exact counts: editing
+            # moves counts by <<1% per step (measured, bench r04f walls),
+            # and an occasional overflow costs one extra run at a cached
+            # rung (one compile the first time) — far cheaper than the
+            # capacity-proportional wall of a 2x-slack rung on every mesh
             hc, ht = self._march_hint
             picked = pick_capacity(
-                ladder, int(1.5 * hc) + 1, int(1.5 * ht) + 1
+                ladder, int(1.2 * hc) + 1, int(1.2 * ht) + 1
             )
             max_cells, max_tris = picked or (ladder[-1], 3 * ladder[-1])
         else:
