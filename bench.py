@@ -13,6 +13,8 @@ quantity, measured through the REAL engine product paths at full scale
 - ``edit_wall_s``      — 170-step guided drag (UNet fwd+bwd each step) incl.
                          256^3 decode + marching + smoothing
                          (reference: drag_utils.py:336-399)
+- ``fast_edit_wall_s`` — the same drag on a 57-step respaced edit window
+                         (framework extension, docs/PERF.md "Fast editing")
 - ``inversion_wall_s`` — 170-step edit-friendly DDPM inversion incl. mesh
                          decode (reference: gaussian_diffusion.py:512-532)
 - ``fit_wall_s``       — 200-step classifier-guided real-shape fit + the
@@ -290,6 +292,26 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     out["edit_wall_s"] = round(edit_wall, 2)
     out["edit_phase_walls"] = engine.last_phase_walls
     out["edit_mesh_walls"] = engine.last_mesh_walls
+
+    # --- fast edit: the same drag on a 57-step respaced window -----------
+    # (framework extension, docs/PERF.md "Fast editing"; resample-only)
+    if over("fast_edit"):
+        return
+    fast_steps = max(2, min(57, w_time - 1))
+    t0 = time.perf_counter()
+    engine.drag_edit(
+        handle[None], target[None], seed=4, noise_mode="resample",
+        edit_steps=fast_steps,
+    )
+    out["fast_edit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    engine.drag_edit(
+        handle[None], target[None], seed=5, noise_mode="resample",
+        edit_steps=fast_steps,
+    )
+    out["fast_edit_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["fast_edit_steps"] = fast_steps
+    out["fast_edit_phase_walls"] = engine.last_phase_walls
 
     # --- mesh-only wall (shared tail of both paths above) ----------------
     t0 = time.perf_counter()

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--edit_id", type=str, default=None)
     p.add_argument("--scale", type=float, default=600.0)
     p.add_argument("--lam", type=float, default=0.2)
+    p.add_argument("--edit_steps", type=int, default=None,
+                   help="fast editing: respace the w_time edit window to "
+                        "this many guided steps (resample noise; "
+                        "docs/PERF.md 'Fast editing'); default: full walk")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited")
     p.add_argument("--render", action="store_true",
@@ -181,6 +185,7 @@ def main(argv=None):
             scale=spec["scale"],
             cof=spec["lam"],
             seed=args.seed,
+            edit_steps=args.edit_steps,
             progress_callback=lambda p: print(f"  progress {p:5.1%}", flush=True),
         )
         summary = engine.drag_loss_summary()

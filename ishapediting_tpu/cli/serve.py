@@ -154,6 +154,7 @@ class EditServer:
             raise ValueError("sources/targets must be equal-length, non-empty")
         scale = float(req.get("scale", eng.config.edit.grad_scale))
         cof = float(req.get("cof", eng.config.edit.mask_weight))
+        edit_steps = req.get("edit_steps")  # fast editing (resample only)
         eng.train_flag = True
         mesh = eng.drag_edit(
             sources,
@@ -163,6 +164,7 @@ class EditServer:
             seed=int(req.get("seed", 0)),
             chunk=int(req.get("chunk", 10)),
             noise_mode=req.get("noise_mode", "resample"),
+            edit_steps=None if edit_steps is None else int(edit_steps),
             progress_callback=lambda v: emit({"event": "progress", "value": float(v)}),
         )
         self.last_drag = {

@@ -145,6 +145,17 @@ class EditConfig:
     # inversion was 1.21/1.48/1.81/1.00 s at chunk 1/2/4/8, so 8 ships
     # (compile cost 37 s vs 28 s at chunk=1 — paid once per session).
     inversion_chunk: int = 8
+    # Fast editing (framework extension, no reference counterpart): run the
+    # guided drag walk on a window-respaced schedule of this many steps
+    # instead of all w_time (DragEngine._fast_edit_schedule). None =
+    # reference behavior (every step guided). The drag loop is batch-1
+    # fwd+bwd and sequential, so interactive latency scales ~linearly with
+    # the count; guidance features come from the same inversion cache.
+    # Resample noise only; keep scale unchanged (docs/PERF.md "Fast
+    # editing": >= ~2/3*w_time preserves the guidance effect; raising
+    # scale to compensate measurably destroys the edit). Per-call
+    # override: drag_edit(edit_steps=...).
+    edit_steps: Optional[int] = None
 
     @property
     def voxel_size(self) -> float:

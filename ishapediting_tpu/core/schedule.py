@@ -226,6 +226,28 @@ def make_schedule(
     else:
         keep = space_timesteps(base_steps, timestep_respacing)
 
+    return respaced_schedule_from_keep(
+        base_betas, keep, rescale_timesteps=rescale_timesteps
+    )
+
+
+def respaced_schedule_from_keep(
+    base_betas: np.ndarray,
+    keep,
+    rescale_timesteps: bool = False,
+) -> Schedule:
+    """Build the respaced :class:`Schedule` over an explicit kept-step set.
+
+    ``keep`` is a set/sequence of ORIGINAL-chain step ids. Betas are
+    recomputed so the respaced chain reproduces the base chain's cumulative
+    alpha exactly at every kept step (reference math: respace.py:71-85);
+    ``make_schedule`` routes through here, and the engine's fast-edit path
+    (``DragEngine._fast_edit_schedule``) uses it with a window-respaced
+    kept set that has no string-respacing spelling."""
+    base_betas = np.asarray(base_betas, np.float64)
+    base_steps = len(base_betas)
+    base_alphas_cumprod = np.cumprod(1.0 - base_betas)
+    keep = set(int(i) for i in keep)
     last_alpha_cumprod = 1.0
     new_betas = []
     timestep_map = []

@@ -42,7 +42,13 @@ from ishapediting_tpu.core.diffusion import (
     p_sample_guidance,
     sample_loop_with_features,
 )
-from ishapediting_tpu.core.schedule import Schedule, make_schedule
+from ishapediting_tpu.core.schedule import (
+    Schedule,
+    make_schedule,
+    respaced_schedule_from_keep,
+    space_timesteps,
+)
+from ishapediting_tpu.core.schedule import named_beta_schedule
 from ishapediting_tpu.edit.drag import (
     DragProblem,
     build_drag_problem,
@@ -176,6 +182,9 @@ class DragEngine:
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
         self._jit_cache: Dict = {}
+        # fast-edit schedules (drag_edit(edit_steps=...)), keyed by count:
+        # (window-respaced Schedule, kept chain positions ascending)
+        self._fast_edit_scheds: Dict[int, Tuple[Schedule, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
     # Construction from reference-format assets
@@ -587,15 +596,16 @@ class DragEngine:
         mesh.vertices = mesh.vertices / res * 2.0 - 1.0
         return mesh
 
-    def _finish_steps_fn(self, params, latent, rng, *, t_start):
+    def _finish_steps_fn(self, params, latent, rng, *, t_start, sched=None):
         model_fn = partial(self._model_fn_p(feat=False), params)
+        sched = self.sched if sched is None else sched
 
         def body(carry, t):
             x, key = carry
             key, sub = jax.random.split(key)
             tb = jnp.full((1,), t, jnp.int32)
             out = p_sample_guidance(
-                self.sched, model_fn, x, tb, sub,
+                sched, model_fn, x, tb, sub,
                 clip_denoised=self.config.diffusion.clip_denoised,
             )
             return (out["sample"], key), None
@@ -609,6 +619,47 @@ class DragEngine:
     # Drag editing (reference: training, drag_utils.py:302-399)
     # ------------------------------------------------------------------
 
+    def _fast_edit_schedule(self, count: int) -> Tuple[Schedule, np.ndarray]:
+        """Window-respaced schedule for FAST drag editing (framework
+        extension, no reference counterpart — the reference always walks all
+        ``w_time`` guided steps, drag_utils.py:336-399).
+
+        The first ``w_time`` positions of the engine's chain are respaced to
+        ``count`` kept positions (verbatim ``space_timesteps`` selection, the
+        same rule DDIM respacing uses); positions >= w_time keep their
+        original-chain ids. Cumulative alphas match the engine's chain
+        exactly at every kept position, so the inversion's cached ``w``
+        (noise level = position ``w_time - 1``) is a valid starting state
+        and the guided walk takes ``count`` larger posterior steps instead
+        of ``w_time`` small ones. Returns ``(schedule, positions)`` where
+        fast step ``j`` corresponds to engine-chain position
+        ``positions[j]`` (ascending) — i.e. feature-cache row
+        ``w_time - 1 - positions[j]``."""
+        w_time = self.config.edit.w_time
+        if not 2 <= count < w_time:
+            raise ValueError(
+                f"edit_steps must be in [2, w_time={w_time}); got {count}"
+            )
+        if count not in self._fast_edit_scheds:
+            positions = np.array(
+                sorted(space_timesteps(w_time, [count])), np.int32
+            )
+            tmap = np.asarray(self.sched.timestep_map)
+            keep = {int(tmap[p]) for p in positions} | {
+                int(t) for t in tmap[w_time:]
+            }
+            base_betas = named_beta_schedule(
+                self.config.diffusion.noise_schedule,
+                self.config.diffusion.base_steps,
+            )
+            sched = respaced_schedule_from_keep(
+                base_betas,
+                keep,
+                rescale_timesteps=self.config.diffusion.rescale_timesteps,
+            )
+            self._fast_edit_scheds[count] = (sched, positions)
+        return self._fast_edit_scheds[count]
+
     def drag_edit(
         self,
         sources: np.ndarray,
@@ -619,6 +670,7 @@ class DragEngine:
         chunk: int = 10,
         noise_mode: str = "resample",
         progress_callback: Optional[Callable[[float], None]] = None,
+        edit_steps: Optional[int] = None,
     ) -> TriMesh:
         """Run the guided edit from ``w``; returns (and caches) the edited
         mesh. ``scale``/``cof`` are traced scalars — changing them does not
@@ -632,7 +684,23 @@ class DragEngine:
         - "fixed_variance" (case 1): fresh noise, inversion-recorded variance;
         - "replay": inversion-recorded variance_noise replayed exactly.
         The last two require a preceding ``latent_inversion``/real-shape fit.
-        """
+
+        ``edit_steps`` (fast editing, framework extension — defaults to
+        ``config.edit.edit_steps``, None = reference behavior): run the
+        guided walk on a window-respaced schedule of that many steps instead
+        of all ``w_time`` (``_fast_edit_schedule``). The drag loop is batch-1
+        fwd+bwd and inherently sequential, so interactive latency scales
+        directly with the step count; guidance features come from the same
+        inversion cache (rows of the kept positions). Resample noise only —
+        recorded variances belong to the full step grid. Fewer, larger
+        posterior steps integrate the same guidance field more coarsely;
+        per-step guidance is ``variance * scale * grad`` and the respaced
+        grid's larger per-step variance already compensates the lower step
+        count — keep ``scale`` unchanged (measured: doubling it at
+        aggressive reductions destroys the edit). On the gate asset,
+        ``edit_steps >= ~2/3 * w_time`` preserves the guidance effect;
+        below ~1/2 treat the result as a fast preview (docs/PERF.md
+        "Fast editing")."""
         if self.w is None or self.feature_guidance is None:
             raise RuntimeError(
                 "no cached latent: call update_latent_params() or "
@@ -644,6 +712,15 @@ class DragEngine:
         cof = edit_cfg.mask_weight if cof is None else cof
         if noise_mode not in ("resample", "fixed_variance", "replay"):
             raise ValueError(f"unknown noise_mode {noise_mode!r}")
+        if edit_steps is None:
+            edit_steps = edit_cfg.edit_steps
+        fast = edit_steps is not None and edit_steps < w_time
+        if fast and noise_mode != "resample":
+            raise ValueError(
+                "edit_steps (fast editing) supports noise_mode='resample' "
+                "only: inversion-recorded variances/noise belong to the "
+                "full per-step grid"
+            )
         if noise_mode != "resample" and (
             self.variances is None or self.variance_noise is None
         ):
@@ -651,6 +728,12 @@ class DragEngine:
                 f"noise_mode={noise_mode!r} needs inversion-recorded "
                 "variances: run latent_inversion()/fit_real_shape() first"
             )
+        if fast:
+            sched_edit, positions = self._fast_edit_schedule(int(edit_steps))
+            n_steps = int(edit_steps)
+        else:
+            sched_edit, positions = self.sched, np.arange(w_time, dtype=np.int32)
+            n_steps = w_time
         feat_width = self.feature_guidance.shape[-2]
         problem = build_drag_problem(
             sources,
@@ -663,19 +746,23 @@ class DragEngine:
 
         n_handles = problem.patch_grid.shape[1]
         step_fn = self._jit(
-            ("drag_chunk", chunk, n_handles, edit_cfg.loss_type, noise_mode),
+            (
+                "drag_chunk", chunk, n_handles, edit_cfg.loss_type,
+                noise_mode, n_steps if fast else 0,
+            ),
             lambda: jax.jit(
                 partial(
                     self._drag_chunk_fn,
                     loss_type=edit_cfg.loss_type,
                     noise_mode=noise_mode,
+                    sched=sched_edit if fast else None,
                 )
             ),
         )
 
         img = self.w
         rng = jax.random.PRNGKey(seed)
-        t = w_time
+        t = n_steps
         stop_time = 0
         motion_hist, mask_hist = [], []
         t_all = time.perf_counter()
@@ -697,11 +784,21 @@ class DragEngine:
             ts = np.concatenate(
                 [np.arange(t - 1, t - 1 - n, -1), np.full(chunk - n, -1)]
             )
-            feats = pad_chunk(
-                jax.lax.dynamic_slice_in_dim(
-                    self.feature_guidance, w_time - t, n, axis=0
+            if fast:
+                # fast step j <-> chain position positions[j] <-> cache row
+                # w_time-1-positions[j]; rows are strided, so gather
+                rows = w_time - 1 - positions[ts[:n]]
+                feats = pad_chunk(
+                    jnp.take(
+                        self.feature_guidance, jnp.asarray(rows), axis=0
+                    )
                 )
-            )
+            else:
+                feats = pad_chunk(
+                    jax.lax.dynamic_slice_in_dim(
+                        self.feature_guidance, w_time - t, n, axis=0
+                    )
+                )
             if noise_mode == "resample":
                 var_slice = vn_slice = jnp.zeros((chunk,), jnp.float32)  # unused
             else:
@@ -730,7 +827,7 @@ class DragEngine:
             mask_hist.append(masks[:n])
             t -= n
             if progress_callback is not None:
-                progress_callback(1.0 - t / max(w_time - 1.0, 1.0))
+                progress_callback(1.0 - t / max(n_steps - 1.0, 1.0))
             if not self.train_flag:
                 stop_time = t
                 break
@@ -744,12 +841,28 @@ class DragEngine:
             "mask": np.concatenate([np.asarray(m) for m in mask_hist])
             if mask_hist else np.zeros(0, np.float32),
         }
+        if fast and stop_time > 0:
+            # cooperative stop mid-walk: the remaining unguided steps belong
+            # to the FAST schedule (get_mesh's finisher walks self.sched)
+            fin = self._jit(
+                ("finish_steps_fast", n_steps),
+                lambda: jax.jit(
+                    partial(self._finish_steps_fn, sched=sched_edit),
+                    static_argnames=("t_start",),
+                ),
+            )
+            img = fin(
+                self.unet_params, img, jax.random.fold_in(rng, n_steps),
+                t_start=stop_time,
+            )
+            stop_time = 0
         self.edited_latent = np.asarray(img)
         device_s = time.perf_counter() - t_all
         t0 = time.perf_counter()
         self.mesh = self.get_mesh(img, t=stop_time)
         self.last_phase_walls = {
             "path": "drag",
+            "edit_steps": n_steps,
             "device_s": round(device_s, 3),
             "mesh_s": round(time.perf_counter() - t0, 3),
             "total_s": round(time.perf_counter() - t_all, 3),
@@ -771,10 +884,10 @@ class DragEngine:
 
     def _drag_chunk_fn(
         self, params, img, ts, feats, variances, variance_noises, rng,
-        problem, scale, cof, *, loss_type, noise_mode="resample",
+        problem, scale, cof, *, loss_type, noise_mode="resample", sched=None,
     ):
         step = make_drag_step(
-            self.sched,
+            self.sched if sched is None else sched,
             partial(self._model_fn_p(feat=True, remat=self.remat), params),
             problem,
             scale=scale,

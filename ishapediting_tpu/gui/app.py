@@ -130,6 +130,12 @@ class App:  # pragma: no cover - interactive
         self._radius_edit = gui.TextEdit()
         self._radius_edit.text_value = "12"
         row.add_child(self._radius_edit)
+        # fast editing (framework extension): respaced guided-step count;
+        # empty = full w_time walk (docs/PERF.md "Fast editing")
+        row.add_child(gui.Label("Steps"))
+        self._edit_steps_edit = gui.TextEdit()
+        self._edit_steps_edit.text_value = ""
+        row.add_child(self._edit_steps_edit)
         panel.add_child(row)
 
         self._start_btn = gui.Button("Start")
@@ -293,6 +299,12 @@ class App:  # pragma: no cover - interactive
         except ValueError:
             pass
 
+        steps_text = self._edit_steps_edit.text_value.strip()
+        try:
+            edit_steps = int(steps_text) if steps_text else None
+        except ValueError:
+            edit_steps = None
+
         def work():
             self._set_status("editing...")
             mesh = self.engine.drag_edit(
@@ -300,6 +312,7 @@ class App:  # pragma: no cover - interactive
                 np.stack(self.target_pnt),
                 scale=float(self._grads_scale_edit.text_value),
                 cof=float(self._lambda_edit.text_value),
+                edit_steps=edit_steps,
                 progress_callback=self._set_progress,
             )
             self.update_mesh(mesh, update_camera=False)

@@ -22,6 +22,8 @@ def test_bench_product_paths_tiny():
     for key in (
         "edit_wall_s",
         "edit_wall_cold_s",
+        "fast_edit_wall_s",
+        "fast_edit_wall_cold_s",
         "inversion_wall_s",
         "inversion_wall_cold_s",
         "fit_wall_s",

@@ -256,3 +256,14 @@ def test_create_mesh_with_real_engine(app, sync_threads):
     # status surfaces the per-step guidance diagnostics on completion
     assert app._status.text.startswith("edit done (motion loss ")
     assert app._progress.value > 0.99
+
+    # fast editing: the Steps field routes edit_steps into drag_edit
+    app._edit_steps_edit.text_value = "3"
+    app._start_btn.click()
+    assert app.engine.last_phase_walls["edit_steps"] == 3
+    app._edit_steps_edit.text_value = ""
+    app._start_btn.click()
+    assert (
+        app.engine.last_phase_walls["edit_steps"]
+        == app.engine.config.edit.w_time
+    )

@@ -77,6 +77,20 @@ def test_sample_drag_capture_flow(server, tmp_path):
     assert server.engine.train_flag is False
 
 
+def test_drag_edit_steps_passthrough(server):
+    # fast editing (framework extension): the request's edit_steps reaches
+    # the engine and the walk runs that many guided steps
+    server.handle({"cmd": "sample", "seed": 3})
+    src = server.engine.mesh.vertices[0].tolist()
+    tgt = (np.asarray(src) + [0.15, 0, 0]).tolist()
+    r = server.handle(
+        {"cmd": "drag", "sources": [src], "targets": [tgt],
+         "scale": 20, "cof": 0.2, "chunk": 2, "edit_steps": 3},
+    )
+    assert r["ok"], r
+    assert server.engine.last_phase_walls["edit_steps"] == 3
+
+
 def test_drag_validates_points(server):
     server.handle({"cmd": "sample", "seed": 3})
     r = server.handle({"cmd": "drag", "sources": [[0, 0, 0]], "targets": []})
