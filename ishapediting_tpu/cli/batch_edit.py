@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-shape edits: ids 01, 02, ... map to shape order")
     p.add_argument("--scale", type=float, default=600.0)
     p.add_argument("--lam", type=float, default=0.2)
+    p.add_argument("--edit_steps", type=int, default=None,
+                   help="fast editing: respace the w_time edit window to "
+                        "this many guided steps (forces resample noise; "
+                        "docs/PERF.md 'Fast editing'); default: full walk")
     p.add_argument("--noise_mode", type=str, default="replay",
                    choices=["replay", "fixed_variance", "resample"],
                    help="inversion-anchored replay (default) or fresh noise")
@@ -195,9 +199,18 @@ def main(argv=None):
         voxel_size=config.edit.voxel_size,
         feat_width=inv["features"].shape[-2],
     )
-    print(f"dragging {n} shapes ({args.noise_mode}) ...")
+    # fast editing (framework extension): respace the edit window; the
+    # engine caches the schedule per count (resample-only)
+    sched_drag, positions = engine.sched, None
+    noise_mode = args.noise_mode
+    if args.edit_steps is not None and args.edit_steps < config.edit.w_time:
+        sched_drag, positions = engine._fast_edit_schedule(args.edit_steps)
+        noise_mode = "resample"  # recorded noise belongs to the full grid
+        print(f"fast editing: {args.edit_steps} of "
+              f"{config.edit.w_time} guided steps (noise_mode=resample)")
+    print(f"dragging {n} shapes ({noise_mode}) ...")
     edited = drag_edit_batched(
-        engine.sched,
+        sched_drag,
         mf,
         engine.unet_params,
         inv["w"],
@@ -209,9 +222,12 @@ def main(argv=None):
         cof=lams,
         clip_denoised=config.diffusion.clip_denoised,
         mesh=mesh,
-        noise_mode=args.noise_mode,
-        variances_batch=inv["variances"],
-        variance_noise_batch=inv["variance_noise"],
+        noise_mode=noise_mode,
+        variances_batch=None if positions is not None else inv["variances"],
+        variance_noise_batch=(
+            None if positions is not None else inv["variance_noise"]
+        ),
+        edit_positions=positions,
     )
 
     # --- decode + write -----------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Sequence, Union
+from typing import Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -262,6 +262,45 @@ def respaced_schedule_from_keep(
         base_steps,
         rescale_timesteps,
     )
+
+
+def fast_edit_schedule(
+    sched: Schedule,
+    base_betas: np.ndarray,
+    w_time: int,
+    count: int,
+    rescale_timesteps: bool = False,
+) -> Tuple[Schedule, np.ndarray]:
+    """Window-respaced schedule for FAST drag editing (framework extension,
+    no reference counterpart — the reference always walks all ``w_time``
+    guided steps, drag_utils.py:336-399).
+
+    The first ``w_time`` positions of ``sched``'s chain are respaced to
+    ``count`` kept positions (verbatim ``space_timesteps`` selection, the
+    same rule DDIM respacing uses); positions >= w_time keep their
+    original-chain ids. Cumulative alphas match ``sched``'s chain exactly
+    at every kept position, so an inversion's cached ``w`` (noise level =
+    position ``w_time``) is a valid starting state and the guided walk
+    takes ``count`` larger posterior steps instead of ``w_time`` small
+    ones. Returns ``(schedule, positions)`` where fast step ``j``
+    corresponds to full-chain position ``positions[j]`` (ascending) —
+    i.e. inversion feature-cache row ``w_time - 1 - positions[j]``.
+
+    Used by ``DragEngine._fast_edit_schedule`` (single-shape, cached per
+    count) and ``edit.batch.drag_edit_batched`` (sharded multi-shape)."""
+    if not 2 <= count < w_time:
+        raise ValueError(
+            f"edit_steps must be in [2, w_time={w_time}); got {count}"
+        )
+    positions = np.array(sorted(space_timesteps(w_time, [count])), np.int32)
+    tmap = np.asarray(sched.timestep_map)
+    keep = {int(tmap[p]) for p in positions} | {
+        int(t) for t in tmap[w_time:]
+    }
+    fast = respaced_schedule_from_keep(
+        base_betas, keep, rescale_timesteps=rescale_timesteps
+    )
+    return fast, positions
 
 
 def model_timesteps(sched: Schedule, t: jnp.ndarray) -> jnp.ndarray:

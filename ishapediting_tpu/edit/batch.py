@@ -69,6 +69,7 @@ def drag_edit_batched(
     noise_mode: str = "resample",
     variances_batch: Optional[jnp.ndarray] = None,  # [N, w_time, 1, H, W, C]
     variance_noise_batch: Optional[jnp.ndarray] = None,  # same shape
+    edit_positions: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
     """Edit N shapes in one jitted program; returns [N, 1, H, W, C] latents.
 
@@ -82,9 +83,23 @@ def drag_edit_batched(
     "resample" (fresh noise), "fixed_variance" (inversion-recorded variance),
     "replay" (inversion-recorded variance_noise replayed exactly). The latter
     two require the stacked inversion records.
+
+    Fast editing (framework extension, resample-only): pass the window-
+    respaced schedule as ``sched`` and its kept chain positions as
+    ``edit_positions`` — both from
+    ``core.schedule.fast_edit_schedule(sched_full, base_betas, w_time, k)``.
+    The walk then takes ``k`` larger posterior steps, gathering the guidance
+    feature rows of the kept positions from the SAME ``features_batch`` the
+    full walk uses (quality trade: docs/PERF.md "Fast editing").
     """
     if noise_mode not in ("resample", "fixed_variance", "replay"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if edit_positions is not None and noise_mode != "resample":
+        raise ValueError(
+            "edit_positions (fast editing) supports noise_mode='resample' "
+            "only: inversion-recorded variances/noise belong to the full "
+            "per-step grid"
+        )
     if noise_mode != "resample" and (
         variances_batch is None or variance_noise_batch is None
     ):
@@ -93,10 +108,23 @@ def drag_edit_batched(
             "variance_noise_batch from invert_batched()"
         )
     n = w_batch.shape[0]
+    if edit_positions is not None:
+        positions = np.asarray(edit_positions, np.int32)
+        n_steps = len(positions)
+        # scan step j walks fast position t = n_steps-1-j, whose guidance
+        # features live at inversion-cache row w_time-1-positions[t]
+        # (row i <-> chain position w_time-1-i, same convention as the
+        # full walk below)
+        rows = w_time - 1 - positions[::-1]
+        features_batch = jnp.take(
+            features_batch, jnp.asarray(rows.copy()), axis=1
+        )
+    else:
+        n_steps = w_time
     if variances_batch is None:
         # unused placeholders keep the scan signature static
-        variances_batch = jnp.zeros((n, w_time), jnp.float32)
-        variance_noise_batch = jnp.zeros((n, w_time), jnp.float32)
+        variances_batch = jnp.zeros((n, n_steps), jnp.float32)
+        variance_noise_batch = jnp.zeros((n, n_steps), jnp.float32)
 
     # scalars or per-shape [N] arrays; traced (never baked into the jaxpr)
     scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n,))
@@ -124,7 +152,7 @@ def drag_edit_batched(
                 nxt, _ = step(img, t, feat, key_t)
             return nxt, None
 
-        ts = jnp.arange(w_time - 1, -1, -1)
+        ts = jnp.arange(n_steps - 1, -1, -1)
         img, _ = jax.lax.scan(
             body, w.astype(jnp.float32), (ts, feats, variances, variance_noises)
         )

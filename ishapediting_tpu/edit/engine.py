@@ -44,11 +44,10 @@ from ishapediting_tpu.core.diffusion import (
 )
 from ishapediting_tpu.core.schedule import (
     Schedule,
+    fast_edit_schedule,
     make_schedule,
-    respaced_schedule_from_keep,
-    space_timesteps,
+    named_beta_schedule,
 )
-from ishapediting_tpu.core.schedule import named_beta_schedule
 from ishapediting_tpu.edit.drag import (
     DragProblem,
     build_drag_problem,
@@ -620,44 +619,19 @@ class DragEngine:
     # ------------------------------------------------------------------
 
     def _fast_edit_schedule(self, count: int) -> Tuple[Schedule, np.ndarray]:
-        """Window-respaced schedule for FAST drag editing (framework
-        extension, no reference counterpart — the reference always walks all
-        ``w_time`` guided steps, drag_utils.py:336-399).
-
-        The first ``w_time`` positions of the engine's chain are respaced to
-        ``count`` kept positions (verbatim ``space_timesteps`` selection, the
-        same rule DDIM respacing uses); positions >= w_time keep their
-        original-chain ids. Cumulative alphas match the engine's chain
-        exactly at every kept position, so the inversion's cached ``w``
-        (noise level = position ``w_time - 1``) is a valid starting state
-        and the guided walk takes ``count`` larger posterior steps instead
-        of ``w_time`` small ones. Returns ``(schedule, positions)`` where
-        fast step ``j`` corresponds to engine-chain position
-        ``positions[j]`` (ascending) — i.e. feature-cache row
-        ``w_time - 1 - positions[j]``."""
-        w_time = self.config.edit.w_time
-        if not 2 <= count < w_time:
-            raise ValueError(
-                f"edit_steps must be in [2, w_time={w_time}); got {count}"
-            )
+        """Window-respaced schedule for FAST drag editing, cached per count
+        (see :func:`ishapediting_tpu.core.schedule.fast_edit_schedule`)."""
         if count not in self._fast_edit_scheds:
-            positions = np.array(
-                sorted(space_timesteps(w_time, [count])), np.int32
-            )
-            tmap = np.asarray(self.sched.timestep_map)
-            keep = {int(tmap[p]) for p in positions} | {
-                int(t) for t in tmap[w_time:]
-            }
-            base_betas = named_beta_schedule(
-                self.config.diffusion.noise_schedule,
-                self.config.diffusion.base_steps,
-            )
-            sched = respaced_schedule_from_keep(
-                base_betas,
-                keep,
+            self._fast_edit_scheds[count] = fast_edit_schedule(
+                self.sched,
+                named_beta_schedule(
+                    self.config.diffusion.noise_schedule,
+                    self.config.diffusion.base_steps,
+                ),
+                self.config.edit.w_time,
+                count,
                 rescale_timesteps=self.config.diffusion.rescale_timesteps,
             )
-            self._fast_edit_scheds[count] = (sched, positions)
         return self._fast_edit_scheds[count]
 
     def drag_edit(

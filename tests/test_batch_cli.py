@@ -31,6 +31,27 @@ def test_batch_edit_cli_generated(tmp_path):
     np.testing.assert_allclose(log["02"]["targets"], [[0.4, 0, 0]])
 
 
+def test_batch_edit_cli_fast_edit(tmp_path, capsys):
+    # --edit_steps respaces the batched walk (and forces resample noise
+    # even though the CLI default is replay)
+    out = tmp_path / "out"
+    batch_main(
+        [
+            "--random_init",
+            "--preset", "tiny",
+            "--latent_seed", "1",
+            "--source", "0.2", "0", "0",
+            "--target", "0.4", "0", "0",
+            "--scale", "30",
+            "--edit_steps", "3",
+            "--out", str(out),
+        ]
+    )
+    assert (out / "edit01.obj").exists()
+    text = capsys.readouterr().out
+    assert "fast editing: 3 of" in text and "resample" in text
+
+
 def test_batch_edit_cli_validates_args(tmp_path):
     import pytest
 

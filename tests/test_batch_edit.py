@@ -91,6 +91,108 @@ def test_batched_matches_per_shape(engine):
         )
 
 
+def test_batched_fast_edit_matches_single_scan(engine):
+    """Fast editing (edit_positions): the batched walk on the window-
+    respaced schedule must equal the single-shape scan over the same fast
+    schedule with the feature rows gathered by hand — pinning both the
+    row-gather order and the schedule handoff (framework extension,
+    docs/PERF.md 'Fast editing')."""
+    from ishapediting_tpu.core.schedule import (
+        fast_edit_schedule,
+        named_beta_schedule,
+    )
+
+    w_time = TINY_PIPELINE.edit.w_time  # 6
+    edit_cfg = TINY_PIPELINE.edit
+    engine.update_latent_params(seed=31)
+    w = np.asarray(engine.w)
+    feats = np.asarray(engine.feature_guidance)
+    src = np.array([[0.2, 0.0, 0.0]], np.float32)
+    tgt = src + np.array([[0.15, 0.0, 0.0]], np.float32)
+    problem = build_drag_problem(
+        src, tgt, r1=edit_cfg.r1, voxel_size=edit_cfg.voxel_size,
+        feat_width=feats.shape[-2],
+    )
+    base = named_beta_schedule(
+        TINY_PIPELINE.diffusion.noise_schedule,
+        TINY_PIPELINE.diffusion.base_steps,
+    )
+    sched_fast, positions = fast_edit_schedule(
+        engine.sched, base, w_time, 3,
+        rescale_timesteps=TINY_PIPELINE.diffusion.rescale_timesteps,
+    )
+    n_steps = len(positions)
+
+    rng = jax.random.PRNGKey(7)
+    model_fn_p = engine._model_fn_p(feat=True)
+    out = drag_edit_batched(
+        sched_fast,
+        model_fn_p,
+        engine.unet_params,
+        jnp.asarray(w[None]),
+        jnp.asarray(feats[None]),
+        stack_problems([problem]),
+        rng,
+        w_time=w_time,
+        scale=50.0,
+        cof=0.2,
+        edit_positions=positions,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+    # single-shape reference: same fast schedule, rows gathered by hand.
+    # drag_edit_scan consumes features[k] at fast t = n_steps-1-k, whose
+    # guidance lives at full-cache row w_time-1-positions[t] — the same
+    # order drag_edit_batched gathers internally.
+    rows = w_time - 1 - positions[::-1]
+    feats_fast = feats[rows].copy()
+    key = jax.random.split(rng, 1)[0]
+    ref = drag_edit_scan(
+        sched_fast,
+        lambda x, t: model_fn_p(engine.unet_params, x, t),
+        problem,
+        jnp.asarray(w),
+        jnp.asarray(feats_fast),
+        key,
+        w_time=n_steps,
+        scale=50.0,
+        cof=0.2,
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=2e-4)
+
+
+def test_batched_fast_edit_rejects_recorded_noise(engine):
+    from ishapediting_tpu.core.schedule import (
+        fast_edit_schedule,
+        named_beta_schedule,
+    )
+
+    w_time = TINY_PIPELINE.edit.w_time
+    base = named_beta_schedule(
+        TINY_PIPELINE.diffusion.noise_schedule,
+        TINY_PIPELINE.diffusion.base_steps,
+    )
+    sched_fast, positions = fast_edit_schedule(engine.sched, base, w_time, 3)
+    with pytest.raises(ValueError, match="resample"):
+        drag_edit_batched(
+            sched_fast, engine._model_fn_p(feat=True), engine.unet_params,
+            jnp.zeros((1, 1, 16, 16, 6)),
+            jnp.zeros((1, w_time, 3, 8, 8, 4)),
+            stack_problems([
+                build_drag_problem(
+                    np.zeros((1, 3), np.float32),
+                    np.ones((1, 3), np.float32) * 0.1,
+                    r1=TINY_PIPELINE.edit.r1,
+                    voxel_size=TINY_PIPELINE.edit.voxel_size,
+                    feat_width=8,
+                )
+            ]),
+            jax.random.PRNGKey(0),
+            w_time=w_time, scale=20.0, cof=0.2, noise_mode="replay",
+            edit_positions=positions,
+        )
+
+
 def test_batched_sharded_over_mesh(engine):
     """Shapes shard over the data axis of an 8-device mesh."""
     w_time = TINY_PIPELINE.edit.w_time

@@ -2,7 +2,8 @@
 # One-shot chip measurement campaign for when the tunnel comes back:
 #   1. long self-deadline liveness probe (never externally killed)
 #   2. full bench.py with a generous budget  -> /tmp/bench_chip.json
-#   3. inversion-chunk sweep                 -> /tmp/invchunk_chip.log
+#   3. fwd vs fwd+bwd drag-step probe        -> /tmp/dragstep_chip.log
+#      (was the inversion-chunk sweep, shipped in PERF.md earlier in r4)
 # Run ALONE (no concurrent pytest — CPU load triples server-side compiles).
 # Usage: sh tools/chip_campaign.sh
 set -u
@@ -50,8 +51,8 @@ if not last or last.get("value") is None:
 print(f"bench chip capture OK: {last['metric']}={last['value']}")
 EOF
 
-echo "=== invchunk sweep $(date +%H:%M:%S) ==="
-python tools/probe_invchunk.py >/tmp/invchunk_chip.log 2>&1
-echo "invchunk rc=$? (log in /tmp/invchunk_chip.log)"
-tail -3 /tmp/invchunk_chip.log
+echo "=== dragstep probe $(date +%H:%M:%S) ==="
+python tools/probe_dragstep.py >/tmp/dragstep_chip.log 2>&1
+echo "dragstep rc=$? (log in /tmp/dragstep_chip.log)"
+tail -6 /tmp/dragstep_chip.log
 echo "=== campaign done $(date +%H:%M:%S) ==="
