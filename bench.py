@@ -293,26 +293,6 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     out["edit_phase_walls"] = engine.last_phase_walls
     out["edit_mesh_walls"] = engine.last_mesh_walls
 
-    # --- fast edit: the same drag on a 57-step respaced window -----------
-    # (framework extension, docs/PERF.md "Fast editing"; resample-only)
-    if over("fast_edit"):
-        return
-    fast_steps = max(2, min(57, w_time - 1))
-    t0 = time.perf_counter()
-    engine.drag_edit(
-        handle[None], target[None], seed=4, noise_mode="resample",
-        edit_steps=fast_steps,
-    )
-    out["fast_edit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    engine.drag_edit(
-        handle[None], target[None], seed=5, noise_mode="resample",
-        edit_steps=fast_steps,
-    )
-    out["fast_edit_wall_s"] = round(time.perf_counter() - t0, 2)
-    out["fast_edit_steps"] = fast_steps
-    out["fast_edit_phase_walls"] = engine.last_phase_walls
-
     # --- mesh-only wall (shared tail of both paths above) ----------------
     t0 = time.perf_counter()
     engine.get_mesh(latent)
@@ -354,6 +334,29 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     phase_tflops["fit_step"] = round(
         3.0 * flops_fwd * n_steps / max(fit_dev, 1e-6) / 1e12, 1
     )
+
+    # --- fast edit: the same drag on a 57-step respaced window -----------
+    # (framework extension, docs/PERF.md "Fast editing"; resample-only.
+    # After fit on purpose: the BASELINE.md quantities land first under a
+    # tight budget; fit's follow-up inversion re-cached w/features, so the
+    # walk's compute shape is identical)
+    if over("fast_edit"):
+        return
+    fast_steps = max(2, min(57, w_time - 1))
+    t0 = time.perf_counter()
+    engine.drag_edit(
+        handle[None], target[None], seed=4, noise_mode="resample",
+        edit_steps=fast_steps,
+    )
+    out["fast_edit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    engine.drag_edit(
+        handle[None], target[None], seed=5, noise_mode="resample",
+        edit_steps=fast_steps,
+    )
+    out["fast_edit_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["fast_edit_steps"] = fast_steps
+    out["fast_edit_phase_walls"] = engine.last_phase_walls
 
     out["phase_tflops"] = phase_tflops
     if over("mesh_tail"):

@@ -124,9 +124,10 @@ class TriMesh:
     def filter_smooth_simple(self, number_of_iterations: int = 1) -> "TriMesh":
         """Simple Laplacian smoothing: v' = (v + sum(neighbors)) / (1 + deg)
         (Open3D filter_smooth_simple semantics; reference uses 10 iterations
-        after marching cubes, drag_utils.py:300)."""
-        from scipy import sparse
-
+        after marching cubes, drag_utils.py:300). Primary path: C++
+        (native/native.cpp::smooth_simple — the scipy-CSR build's edge
+        dedup dominated the mesh tail, ~0.6 s at 221k verts); NumPy/scipy
+        fallback below is the executable spec."""
         v = self.vertices
         t = self.triangles
         n = len(v)
@@ -134,6 +135,15 @@ class TriMesh:
             # copy: the returned mesh must never alias this one's arrays
             # (>=1 iterations allocate fresh arrays via the matvec)
             return TriMesh(v.copy(), t.copy())
+        try:
+            from ishapediting_tpu.native import native_smooth_simple
+
+            return TriMesh(
+                native_smooth_simple(v, t, number_of_iterations), t.copy()
+            )
+        except Exception:
+            pass
+        from scipy import sparse
         # directed edge list (both directions); CSR construction sums
         # duplicate entries, so resetting stored data to 1 afterwards
         # dedups shared edges without an explicit (slow) np.unique(axis=0).

@@ -67,6 +67,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.smooth_simple.restype = None
+        lib.smooth_simple.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return lib
 
@@ -98,6 +105,24 @@ def native_marching_tetrahedra(grid: np.ndarray, iso: float = 0.0):
             ctypes.cast(tris_ptr, ctypes.c_void_p),
         )
     return TriMesh(verts, tris)
+
+
+def native_smooth_simple(
+    vertices: np.ndarray, triangles: np.ndarray, iterations: int
+) -> np.ndarray:
+    """C++ filter_smooth_simple (unique-neighbor Laplacian); returns new
+    [n,3] f64 vertices. Fallback: the scipy-CSR path in geometry/mesh.py."""
+    lib = get_lib()
+    v = np.ascontiguousarray(vertices, dtype=np.float64)
+    t = np.ascontiguousarray(triangles, dtype=np.int64)
+    out = np.empty_like(v)
+    lib.smooth_simple(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(t),
+        int(iterations),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
 
 
 def native_points_occupancy(mesh, points: np.ndarray) -> np.ndarray:

@@ -7,6 +7,11 @@
 // 2. points_occupancy: vertical-ray parity point-in-mesh test with a uniform
 //    2D grid accelerator. Replaces Open3D RaycastingScene.compute_occupancy
 //    (reference: meshProcess.py:7-14).
+// 3. smooth_simple: Laplacian smoothing with unique-neighbor dedup (Open3D
+//    filter_smooth_simple semantics, the reference's 10-iteration post-
+//    marching smooth, drag_utils.py:300). Replaces the scipy CSR path in
+//    geometry/mesh.py whose edge-dedup BUILD dominates (measured ~0.6 s of
+//    the ~0.85 s at 221k verts / 378k tris).
 //
 // Exposed via a plain C ABI for ctypes.
 
@@ -228,6 +233,59 @@ void points_occupancy(const double* verts, long long nv, const long long* tris,
     }
     out[i] = (hits & 1) ? 1.0 : 0.0;
   }
+}
+
+// v' = (v + sum(unique neighbors)) / (1 + deg), `iters` times.
+// out must hold nv*3 doubles; verts/out may not alias.
+void smooth_simple(const double* verts, long long nv, const long long* tris,
+                   long long nt, long long iters, double* out) {
+  if (nv == 0) return;
+  // directed edges (both directions) as packed keys; sort+unique dedups
+  // shared edges, exactly like the scipy-CSR fallback's duplicate-sum reset
+  std::vector<unsigned long long> keys;
+  keys.reserve((size_t)(6 * nt));
+  const unsigned long long n = (unsigned long long)nv;
+  for (long long i = 0; i < nt; ++i) {
+    unsigned long long a = (unsigned long long)tris[3 * i];
+    unsigned long long b = (unsigned long long)tris[3 * i + 1];
+    unsigned long long c = (unsigned long long)tris[3 * i + 2];
+    keys.push_back(a * n + b);
+    keys.push_back(b * n + c);
+    keys.push_back(c * n + a);
+    keys.push_back(b * n + a);
+    keys.push_back(c * n + b);
+    keys.push_back(a * n + c);
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  // CSR over the deduped directed edges
+  std::vector<long long> indptr((size_t)nv + 1, 0);
+  std::vector<long long> indices(keys.size());
+  for (size_t e = 0; e < keys.size(); ++e) {
+    long long r = (long long)(keys[e] / n);
+    indices[e] = (long long)(keys[e] % n);
+    indptr[(size_t)r + 1]++;
+  }
+  for (long long i = 0; i < nv; ++i) indptr[(size_t)i + 1] += indptr[(size_t)i];
+  std::vector<double> cur(verts, verts + 3 * nv), nxt((size_t)3 * nv);
+  for (long long it = 0; it < iters; ++it) {
+    for (long long i = 0; i < nv; ++i) {
+      double sx = cur[3 * i], sy = cur[3 * i + 1], sz = cur[3 * i + 2];
+      const long long e0 = indptr[(size_t)i], e1 = indptr[(size_t)i + 1];
+      for (long long e = e0; e < e1; ++e) {
+        const long long j = indices[(size_t)e];
+        sx += cur[3 * j];
+        sy += cur[3 * j + 1];
+        sz += cur[3 * j + 2];
+      }
+      const double inv = 1.0 / (1.0 + (double)(e1 - e0));
+      nxt[3 * i] = sx * inv;
+      nxt[3 * i + 1] = sy * inv;
+      nxt[3 * i + 2] = sz * inv;
+    }
+    cur.swap(nxt);
+  }
+  std::memcpy(out, cur.data(), (size_t)3 * nv * sizeof(double));
 }
 
 }  // extern "C"

@@ -186,6 +186,34 @@ def test_smoothing_shrinks_noise(rng):
     assert r_smooth.std() < r_noisy.std()
 
 
+def test_native_smooth_matches_scipy_fallback(rng):
+    """The C++ smooth_simple must equal the scipy-CSR fallback (the
+    executable spec) to fp-roundoff on a real marched surface."""
+    pytest.importorskip("scipy")
+    try:
+        from ishapediting_tpu.native import native_smooth_simple
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    from scipy import sparse
+
+    mesh = grid_to_mesh(sphere_grid(32, 0.5))
+    mesh.vertices = (
+        mesh.vertices + rng.standard_normal(mesh.vertices.shape) * 0.01
+    )
+    got = native_smooth_simple(mesh.vertices, mesh.triangles, 10)
+
+    v, t = mesh.vertices.copy(), mesh.triangles
+    n = len(v)
+    rows = np.concatenate([t[:, 0], t[:, 1], t[:, 2], t[:, 1], t[:, 2], t[:, 0]])
+    cols = np.concatenate([t[:, 1], t[:, 2], t[:, 0], t[:, 0], t[:, 1], t[:, 2]])
+    adj = sparse.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    adj.data[:] = 1.0
+    inv = 1.0 / (1.0 + np.diff(adj.indptr))[:, None]
+    for _ in range(10):
+        v = (v + adj.dot(v)) * inv
+    np.testing.assert_allclose(got, v, atol=1e-12)
+
+
 def test_render_mesh(tmp_path):
     from ishapediting_tpu.geometry.render import render_mesh
 
