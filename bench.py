@@ -377,6 +377,8 @@ def bench_mesh_tail(res: int) -> dict:
     from ishapediting_tpu.ops.marching import (
         assemble_mesh,
         default_capacities,
+        fetch_rows,
+        march_counts,
         marching_tets_device,
         pack_march_output,
         unpack_march_payload,
@@ -399,16 +401,24 @@ def bench_mesh_tail(res: int) -> dict:
             )
         )
     )
-    int(np.asarray(march(grid)["counts"])[1])  # warm (compile + first run)
-    t0 = time.perf_counter()
-    out = march(grid)
-    n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
+    # warm run: compile + learn counts, AND warm the exact quantized fetch
+    # slice the timed run uses (distinct slice shapes compile their own
+    # fetch programs on the tunnel — CLAUDE.md / docs/PERF.md)
+    warm = march(grid)
+    n_cells, n_tris = march_counts(np.asarray(warm[:1]))
     if n_cells > max_cells or n_tris > max_tris:
         # the payload buffers are truncated past capacity; a partial mesh
         # would silently misreport the tail metrics (ops/marching.py:
         # "overflow ... never truncates")
         return {"mesh_tail_overflow": f"cells={n_cells} tris={n_tris}"}
-    keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
+    spec = fetch_rows(n_tris, max_tris)
+    np.asarray(warm[:spec])
+    t0 = time.perf_counter()
+    out = march(grid)
+    # hint-warm consume: counts + triangles in ONE quantized round trip
+    slab = np.asarray(out[:spec])
+    n_cells, n_tris = march_counts(slab)
+    keys, tvals = unpack_march_payload(slab[1 : n_tris + 1])
     mesh_dev = assemble_mesh(keys, tvals, res)
     device_s = time.perf_counter() - t0
 

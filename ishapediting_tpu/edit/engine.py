@@ -504,6 +504,8 @@ class DragEngine:
             assemble_mesh,
             capacity_ladder,
             default_capacities,
+            fetch_rows,
+            march_counts,
             marching_tets_device,
             pack_march_output,
             pick_capacity,
@@ -547,9 +549,11 @@ class DragEngine:
                 grid = decode_grid(
                     dec, planes, res=res, out_dtype=jnp.float16
                 ).astype(jnp.float32)
-                # packed output: two host round trips total (counts +
-                # payload slab) instead of four — round-trip latency was
-                # most of the device path's cost on the tunneled backend
+                # packed single-array output: counts in row 0, triangles
+                # after — a count-hinted caller consumes the whole mesh in
+                # ONE quantized-shape round trip (round-trip latency and
+                # per-shape fetch-program compiles were most of the device
+                # path's cost on the tunneled backend, docs/PERF.md)
                 return pack_march_output(
                     marching_tets_device(
                         grid, 0.0, max_cells=max_cells, max_tris=max_tris
@@ -559,13 +563,22 @@ class DragEngine:
             return lambda: jax.jit(run)
 
         attempts = 0
+        slab = None
         while True:
             fn = self._jit(
                 ("decode_march", res, max_cells, max_tris),
                 build(max_cells, max_tris),
             )
             out = fn(self.decoder_params, latent, self.half_range, self.middle)
-            n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
+            if self._march_hint is not None and attempts == 0:
+                # warm path: speculate that counts moved <1.1x since the
+                # last mesh (they move <<1% per edit step, bench r04f) and
+                # fetch counts + triangles together in one round trip
+                spec = fetch_rows(self._march_hint[1], max_tris)
+                slab = np.asarray(out[:spec])
+            else:
+                slab = np.asarray(out[:1])  # counts-only (cold / retry)
+            n_cells, n_tris = march_counts(slab)
             attempts += 1
             if n_cells <= max_cells and n_tris <= max_tris:
                 break
@@ -581,16 +594,27 @@ class DragEngine:
             max_cells = max(max_cells, nxt[0])
             max_tris = max(max_tris, nxt[1])
         self._march_hint = (n_cells, n_tris)
+        fetch_trips = 1
+        if len(slab) < n_tris + 1:
+            # speculation fell short (or counts-only cold path): fetch the
+            # full quantized slab from row 0 — the resulting (need, 5)
+            # fetch program is exactly the shape the NEXT mesh's
+            # speculative fetch uses, so the warm path's program compiles
+            # here instead of on mesh #2
+            need = fetch_rows(n_tris, max_tris)
+            slab = np.asarray(out[:need])
+            fetch_trips = 2
         self._last_march_stats = {
             "march_capacity": max_cells,
             "march_tris_capacity": max_tris,
             "march_cells": n_cells,
             "march_tris": n_tris,
             "march_attempts": attempts,
+            "march_fetch_trips": fetch_trips,
         }
         if n_tris == 0:
             return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-        keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
+        keys, tvals = unpack_march_payload(slab[1 : n_tris + 1])
         mesh = assemble_mesh(keys, tvals, res)
         mesh.vertices = mesh.vertices / res * 2.0 - 1.0
         return mesh

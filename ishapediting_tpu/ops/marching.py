@@ -256,37 +256,88 @@ def marching_tets_device(
     return {"keys": keys, "tvals": t, "n_cells": n_cells, "n_tris": n_tris}
 
 
-def pack_march_output(out: dict) -> dict:
-    """Pack the kernel output for MINIMAL host round trips (traced, call
+#: Fetch-slice row quantum. On the tunneled backend every DISTINCT eager
+#: slice shape compiles its own tiny fetch program (~1-2 s, docs/PERF.md
+#: "Harness quirk") — fetching ``payload[:n_tris]`` exactly would pay that
+#: compile on every mesh whose count differs. Rounding the slice up to a
+#: multiple of this quantum keeps the fetch program session-stable (counts
+#: move <<1% per edit step) at <=0.16 MB of over-fetch.
+FETCH_QUANTUM = 8192
+
+
+def fetch_rows(hint_tris: int, max_tris: int) -> int:
+    """Number of payload rows (incl. the counts row) to fetch for a mesh
+    expected to have ~``hint_tris`` triangles: 10% margin, rounded up to
+    ``FETCH_QUANTUM`` so the slice shape — and its one-time fetch-program
+    compile — is reused across meshes with nearby counts."""
+    want = int(1.1 * hint_tris) + 2  # +1 counts row, +1 slack
+    q = -(-want // FETCH_QUANTUM) * FETCH_QUANTUM
+    return min(q, max_tris + 1)
+
+
+def pack_march_output(out: dict) -> jnp.ndarray:
+    """Pack the kernel output for a SINGLE host round trip (traced, call
     inside the jit program that ran ``marching_tets_device``).
 
     The unpacked dict costs four round trips to consume (n_cells, n_tris,
-    keys, tvals) — at ~0.4 s tunnel latency each that is more than the
-    payload bytes themselves (docs/PERF.md "Harness quirk"). Packed form:
-    ``counts`` = [n_cells, n_tris] (one tiny fetch) and ``payload`` =
-    [max_tris, 6] int32 with tvals bitcast into the last three columns
-    (one count-sized fetch of ``payload[:n_tris]``)."""
-    counts = jnp.stack(
-        [out["n_cells"].astype(jnp.int32), out["n_tris"].astype(jnp.int32)]
-    )
-    payload = jnp.concatenate(
+    keys, tvals) and a counts+payload pair still costs two — at ~0.4 s
+    tunnel latency each that is more than the payload bytes themselves
+    (docs/PERF.md "Harness quirk"). Packed form: one ``[max_tris+1, 5]``
+    int32 array whose row 0 carries ``[n_cells, n_tris, 0, 0, 0]`` and
+    whose rows ``1..n_tris`` carry ``[k0, k1, k2, t0|t1<<16, t2]`` with the
+    interpolation parameters quantized to f16 (bit pattern in the low
+    halves). A caller holding a count hint fetches ``payload[:fetch_rows
+    (hint, max_tris)]`` — counts and triangles in ONE quantized-shape
+    round trip. f16 tvals match the precision the host path already has
+    (it marches an f16-quantized grid) and cut payload bytes by 1/6;
+    duplicates of an edge still carry bit-identical t, so the host weld
+    (``assemble_mesh``) is unaffected."""
+    counts_row = jnp.stack(
         [
-            out["keys"].astype(jnp.int32),
-            jax.lax.bitcast_convert_type(
-                out["tvals"].astype(jnp.float32), jnp.int32
-            ),
+            out["n_cells"].astype(jnp.uint32),
+            out["n_tris"].astype(jnp.uint32),
+            jnp.uint32(0),
+            jnp.uint32(0),
+            jnp.uint32(0),
+        ]
+    )[None, :]
+    t16 = jax.lax.bitcast_convert_type(
+        out["tvals"].astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    rows = jnp.concatenate(
+        [
+            out["keys"].astype(jnp.uint32),
+            (t16[:, 0] | (t16[:, 1] << 16))[:, None],
+            t16[:, 2:3],
         ],
         axis=1,
     )
-    return {"counts": counts, "payload": payload}
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate([counts_row, rows], axis=0), jnp.int32
+    )
+
+
+def march_counts(head: np.ndarray) -> Tuple[int, int]:
+    """(n_cells, n_tris) from a fetched payload head (>=1 row)."""
+    head = np.asarray(head, np.int32)
+    return int(head[0, 0]), int(head[0, 1])
 
 
 def unpack_march_payload(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side inverse of ``pack_march_output``: split a fetched
-    ``payload[:n_tris]`` slab into (keys [n,3] int32, tvals [n,3] f32)."""
-    rows = np.asarray(rows, np.int32)
-    keys = rows[:, :3]
-    tvals = np.ascontiguousarray(rows[:, 3:]).view(np.float32)
+    """Host-side inverse of ``pack_march_output`` for the TRIANGLE rows
+    (i.e. ``payload[1:n_tris+1]``): returns (keys [n,3] int32,
+    tvals [n,3] f32 — exact f32 widening of the packed f16 bits)."""
+    rows = np.asarray(rows, np.int32).view(np.uint32)
+    keys = rows[:, :3].astype(np.int32)
+    u16 = np.stack(
+        [
+            rows[:, 3] & np.uint32(0xFFFF),
+            rows[:, 3] >> np.uint32(16),
+            rows[:, 4] & np.uint32(0xFFFF),
+        ],
+        axis=1,
+    ).astype(np.uint16)
+    tvals = u16.view(np.float16).astype(np.float32)
     return keys, tvals
 
 
@@ -347,12 +398,13 @@ def device_grid_to_mesh(
             )
         )
     out = _jit_cache[key](grid)
-    n_cells, n_tris = (int(v) for v in np.asarray(out["counts"]))
+    n_cells, n_tris = march_counts(np.asarray(out[:1]))
     if n_cells > max_cells or n_tris > max_tris:
         return None
     if n_tris == 0:
         return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-    keys, tvals = unpack_march_payload(np.asarray(out["payload"][:n_tris]))
+    slab = np.asarray(out[: fetch_rows(n_tris, max_tris)])
+    keys, tvals = unpack_march_payload(slab[1 : n_tris + 1])
     mesh = assemble_mesh(keys, tvals, r)
     if to_unit:
         mesh.vertices = mesh.vertices / r * 2.0 - 1.0

@@ -64,7 +64,10 @@ def test_device_matches_host(res):
     assert dev is not None
     assert len(dev.triangles) == len(host.triangles)
     assert len(dev.vertices) == len(host.vertices)
-    _assert_same_triangles(dev, host, atol=2e-4)
+    # voxel-unit coords; the packed payload carries f16 tvals (~2.4e-4
+    # relative), so vertex parity vs the f64 host path is ~1e-3 voxels —
+    # 8e-6 of the [-1,1] domain at the product's res=256
+    _assert_same_triangles(dev, host, atol=2e-3)
     # identical winding convention -> signed volumes agree (not just |V|)
     assert _signed_volume(dev) == pytest.approx(_signed_volume(host), rel=1e-3)
 
@@ -344,9 +347,11 @@ def test_engine_adaptive_capacity(monkeypatch):
 
 
 def test_pack_unpack_roundtrip_exact():
-    """pack_march_output/unpack_march_payload must be bit-exact: keys pass
-    through as int32 and tvals via int32 bitcast (two host round trips on
-    the tunneled backend instead of four — ops/marching.py)."""
+    """pack_march_output/unpack_march_payload round trip: keys pass through
+    bit-exactly as int32; tvals come back as the exact f32 widening of
+    their f16 quantization (ONE host round trip on the tunneled backend —
+    ops/marching.py). Duplicated edges must still carry bit-identical t so
+    the host weld is unaffected."""
     import jax
 
     from ishapediting_tpu.ops.marching import (
@@ -365,9 +370,35 @@ def test_pack_unpack_roundtrip_exact():
             marching_tets_device(x, 0.0, max_cells=mc, max_tris=mt)
         )
     )(g)
-    counts = np.asarray(packed["counts"])
-    assert counts[0] == int(raw["n_cells"]) and counts[1] == int(raw["n_tris"])
-    n = int(counts[1])
-    keys, tvals = unpack_march_payload(np.asarray(packed["payload"][:n]))
+    assert packed.shape == (mt + 1, 5) and packed.dtype == jnp.int32
+    from ishapediting_tpu.ops.marching import march_counts
+
+    n_cells, n = march_counts(np.asarray(packed[:1]))
+    assert n_cells == int(raw["n_cells"]) and n == int(raw["n_tris"])
+    keys, tvals = unpack_march_payload(np.asarray(packed[1 : n + 1]))
     np.testing.assert_array_equal(keys, np.asarray(raw["keys"][:n]))
-    np.testing.assert_array_equal(tvals, np.asarray(raw["tvals"][:n]))
+    expect = np.asarray(raw["tvals"][:n]).astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(tvals, expect)
+    # weld safety: every duplicate edge key carries an identical packed t
+    flat_k = keys.reshape(-1)
+    flat_t = tvals.reshape(-1)
+    uniq, inv = np.unique(flat_k, return_inverse=True)
+    per_key = {}
+    for k, t in zip(inv, flat_t):
+        assert per_key.setdefault(k, t) == t
+    assert len(uniq) < len(flat_k)  # the blob really has shared edges
+
+
+def test_fetch_rows_quantized():
+    """fetch_rows returns quantum-aligned, capacity-capped row counts that
+    cover the hint with >=10% margin (stable fetch-program shapes on the
+    tunneled backend)."""
+    from ishapediting_tpu.ops.marching import FETCH_QUANTUM, fetch_rows
+
+    assert fetch_rows(0, 10**9) == FETCH_QUANTUM
+    r = fetch_rows(100_000, 10**9)
+    assert r % FETCH_QUANTUM == 0 and r >= int(1.1 * 100_000) + 2
+    # cap at the full payload (max_tris + 1 rows incl. counts row)
+    assert fetch_rows(100_000, 100_000) == 100_001
+    # nearby counts reuse one shape: the whole point of the quantum
+    assert fetch_rows(100_000, 10**9) == fetch_rows(101_000, 10**9)
