@@ -402,3 +402,36 @@ def test_fetch_rows_quantized():
     assert fetch_rows(100_000, 100_000) == 100_001
     # nearby counts reuse one shape: the whole point of the quantum
     assert fetch_rows(100_000, 10**9) == fetch_rows(101_000, 10**9)
+
+
+def test_engine_speculative_fetch_shortfall(monkeypatch):
+    """The warm consume speculates one fetch sized by the previous mesh's
+    count; a stale hint (counts jumped >10%, e.g. a new shape) must fall
+    back to a second full-slab fetch and still assemble the right mesh,
+    and the refreshed hint restores the single-trip path on the next call
+    (engine._decode_mesh_device)."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import ishapediting_tpu.ops.marching as M
+    import jax
+
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    # tiny quantum so a stale hint really undershoots the tri count
+    monkeypatch.setattr(M, "FETCH_QUANTUM", 16)
+    mesh0 = engine.get_mesh(latent, smooth=0)
+    n_tris = engine._last_march_stats["march_tris"]
+    assert n_tris > 64
+    engine._march_hint = (engine._march_hint[0], 8)  # stale: way under
+    mesh1 = engine.get_mesh(latent, smooth=0)
+    stats = engine._last_march_stats
+    assert stats["march_fetch_trips"] == 2  # speculation fell short
+    assert stats["march_attempts"] == 1  # no capacity climb involved
+    np.testing.assert_array_equal(mesh0.vertices, mesh1.vertices)
+    np.testing.assert_array_equal(mesh0.triangles, mesh1.triangles)
+    # refreshed hint: back to ONE round trip
+    engine.get_mesh(latent, smooth=0)
+    assert engine._last_march_stats["march_fetch_trips"] == 1
