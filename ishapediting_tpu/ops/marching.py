@@ -171,7 +171,14 @@ def marching_tets_device(
     ntri_t = jnp.asarray(_NTRI)
     case_tri_t = jnp.asarray(_CASE_TRI)  # [16, 2, 3]
     tet_edges_t = jnp.asarray(_TET_EDGES.astype(np.int32))  # [6, 2]
-    lo_parts, hi_parts, valid_parts = [], [], []
+    # Carry LOCAL cube-corner ids (0..7) through compaction instead of flat
+    # grid ids: the endpoint VALUES and flat ids of every tet edge already
+    # live in the per-cell ``vals``/``corner_flat`` rows, so looking them
+    # up post-compaction is a gather from a K*8-element array (VMEM-sized)
+    # rather than T*3 random gathers from the res^3 grid in HBM — the
+    # gathers are what make the kernel wall capacity-proportional
+    # (docs/PERF.md "march capacity sweep").
+    ca_parts, cb_parts, valid_parts = [], [], []
     for tet in _TETS:
         code = (
             ins[:, tet[0]].astype(jnp.int32)
@@ -183,33 +190,37 @@ def marching_tets_device(
         la = tet_edges_t[edges, 0]  # [K, 2, 3] local tet corner 0..3
         lb = tet_edges_t[edges, 1]
         tet_arr = jnp.asarray(np.array(tet, np.int32))
-        ca = tet_arr[la]  # [K, 2, 3] cube corner 0..7
-        cb = tet_arr[lb]
-        k = corner_flat.shape[0]
-        fa = jnp.take_along_axis(corner_flat, ca.reshape(k, 6), axis=1).reshape(
-            k, 2, 3
-        )
-        fb = jnp.take_along_axis(corner_flat, cb.reshape(k, 6), axis=1).reshape(
-            k, 2, 3
-        )
-        lo_parts.append(jnp.minimum(fa, fb))
-        hi_parts.append(jnp.maximum(fa, fb))
+        ca_parts.append(tet_arr[la])  # [K, 2, 3] cube corner 0..7
+        cb_parts.append(tet_arr[lb])
         slot_valid = jnp.arange(2, dtype=jnp.int32)[None, :] < ntri_t[code][:, None]
         valid_parts.append(slot_valid & valid_cell[:, None])
 
-    lo = jnp.concatenate(lo_parts, axis=0).reshape(-1, 3)  # [6K*2, 3]
-    hi = jnp.concatenate(hi_parts, axis=0).reshape(-1, 3)
-    valid = jnp.concatenate(valid_parts, axis=0).reshape(-1)
+    # [K, 6, 2, 3] -> [K*12, 3]: cell-major slot order (6 tets x 2 slots)
+    ca_all = jnp.stack(ca_parts, axis=1).reshape(-1, 3)
+    cb_all = jnp.stack(cb_parts, axis=1).reshape(-1, 3)
+    valid = jnp.stack(valid_parts, axis=1).reshape(-1)
 
     # -- compact triangles ----------------------------------------------------
     n_tris = jnp.sum(valid, dtype=jnp.int32)
     tri_idx = jnp.nonzero(valid, size=max_tris, fill_value=0)[0]
-    lo_c = lo[tri_idx]  # [T, 3]
-    hi_c = hi[tri_idx]
+    cell_row = tri_idx // 12  # compacted-cell row of each triangle
+    ca_c = ca_all[tri_idx]  # [T, 3] local corner ids
+    cb_c = cb_all[tri_idx]
+    cf = corner_flat.reshape(-1)  # [K*8] flat grid ids
+    vf = vals.reshape(-1)  # [K*8] corner values (already gathered)
+    ia = cell_row[:, None] * 8 + ca_c
+    ib = cell_row[:, None] * 8 + cb_c
+    fa = cf[ia]  # [T, 3] flat grid ids of the edge endpoints
+    fb = cf[ib]
+    va = vf[ia]
+    vb = vf[ib]
+    swap = fa > fb  # canonical edge direction: lo = smaller flat id
+    lo_c = jnp.where(swap, fb, fa)
+    hi_c = jnp.where(swap, fa, fb)
 
     # -- interpolation + positions -------------------------------------------
-    v1 = gridf[lo_c]
-    v2 = gridf[hi_c]
+    v1 = jnp.where(swap, vb, va)
+    v2 = jnp.where(swap, va, vb)
     denom = v2 - v1
     t = jnp.where(
         jnp.abs(denom) > 1e-30,
@@ -228,18 +239,18 @@ def marching_tets_device(
     pos = p1 + t[..., None] * (p2 - p1)
 
     # -- orientation: np.gradient central differences (one-sided at borders) --
+    # Compute the gradient over the whole grid with shifts (bandwidth-bound,
+    # ~ms) and do ONE [T, 3] row gather, instead of six per-axis random
+    # gathers from the res^3 grid — identical values (jnp.gradient is the
+    # same central-diff / one-sided-border stencil as the host's
+    # np.gradient), half the remaining HBM random accesses.
     centroid = pos.mean(axis=1)  # [T, 3]
     idx = jnp.clip(jnp.round(centroid).astype(jnp.int32), 0, r - 1)
-    grads = []
-    strides = (r * r, r, 1)
     flat_idx = idx[:, 0] * (r * r) + idx[:, 1] * r + idx[:, 2]
-    for a in range(3):
-        up = jnp.minimum(idx[:, a] + 1, r - 1)
-        dn = jnp.maximum(idx[:, a] - 1, 0)
-        f_up = gridf[flat_idx + (up - idx[:, a]) * strides[a]]
-        f_dn = gridf[flat_idx + (dn - idx[:, a]) * strides[a]]
-        grads.append((f_up - f_dn) / jnp.maximum(up - dn, 1).astype(jnp.float32))
-    grad = jnp.stack(grads, axis=-1)  # [T, 3]
+    grad_grid = jnp.stack(
+        jnp.gradient(gridf.reshape(r, r, r)), axis=-1
+    ).reshape(-1, 3)
+    grad = grad_grid[flat_idx]  # [T, 3]
     normal = jnp.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
     flip = jnp.einsum("ij,ij->i", normal, grad) > 0
 
