@@ -328,6 +328,10 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
         fit_wall = time.perf_counter() - t0
     out["fit_wall_s"] = round(fit_wall, 2)
     out["fit_phase_walls"] = engine.last_phase_walls
+    # fit decodes a DIFFERENT surface than the edit/inversion latents (its
+    # own counts/rung) — record its mesh walls so a fit mesh_s outlier is
+    # attributable (r04m: 11.9 s with no trace of why)
+    out["fit_mesh_walls"] = engine.last_mesh_walls
     fit_dev = (out.get("fit_phase_walls") or {}).get(
         "guided_s", max(fit_wall - inversion_wall, 1e-6)
     )

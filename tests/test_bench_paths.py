@@ -33,6 +33,9 @@ def test_bench_product_paths_tiny():
         "grid_fetch_s",
     ):
         assert key in out and np.isfinite(out[key]) and out[key] >= 0, key
+    # every product path records its mesh walls (fit's surface differs
+    # from the edit/inversion latents, so an outlier must be attributable)
+    assert "fit_mesh_walls" in out and isinstance(out["fit_mesh_walls"], dict)
     # the calibrated decoder must actually produce a surface
     assert out["mesh_verts"] > 0
     # mesh-tail micro-bench: device and host marching agree on the sphere
