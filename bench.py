@@ -19,6 +19,8 @@ quantity, measured through the REAL engine product paths at full scale
                          decode (reference: gaussian_diffusion.py:512-532)
 - ``fit_wall_s``       — 200-step classifier-guided real-shape fit + the
                          follow-up inversion (reference: drag_utils.py:445-463)
+- ``fast_fit_wall_s``  — the same fit on a 50-step respaced chain
+                         (framework extension, docs/PERF.md "Fast fitting")
 - ``phase_tflops``     — per-phase effective TF/s against the 141 TF/s
                          measured matmul ceiling (docs/PERF.md)
 - ``mesh_tail_*``      — device-side marching tetrahedra (grid stays in
@@ -361,6 +363,27 @@ def _bench_product_paths(out, flops_fwd: float, ceiling_tflops: float = 141.0,
     out["fast_edit_wall_s"] = round(time.perf_counter() - t0, 2)
     out["fast_edit_steps"] = fast_steps
     out["fast_edit_phase_walls"] = engine.last_phase_walls
+
+    # --- fast fit: the same real-shape fit on a 50-step respaced chain ---
+    # (framework extension, docs/PERF.md "Fast fitting")
+    if over("fast_fit"):
+        return
+    fast_fit_steps = max(2, min(50, engine.sched.num_timesteps - 1))
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        engine.fit_real_shape(
+            mesh=mesh0, center_mesh=False, path=tmp, seed=8,
+            fit_steps=fast_fit_steps,
+        )
+        out["fast_fit_wall_cold_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        engine.fit_real_shape(
+            mesh=mesh0, center_mesh=False, path=tmp, seed=9,
+            fit_steps=fast_fit_steps,
+        )
+        out["fast_fit_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["fast_fit_steps"] = fast_fit_steps
+    out["fast_fit_phase_walls"] = engine.last_phase_walls
 
     out["phase_tflops"] = phase_tflops
     if over("mesh_tail"):

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fast editing: respace the w_time edit window to "
                         "this many guided steps (forces resample noise; "
                         "docs/PERF.md 'Fast editing'); default: full walk")
+    p.add_argument("--fit_steps", type=int, default=None,
+                   help="fast fitting: respace the batched classifier-"
+                        "guided fit to this many steps (docs/PERF.md "
+                        "'Fast fitting'); default: guide the full chain")
     p.add_argument("--noise_mode", type=str, default="replay",
                    choices=["replay", "fixed_variance", "resample"],
                    help="inversion-anchored replay (default) or fresh noise")
@@ -139,9 +143,17 @@ def main(argv=None):
         meshes: List[TriMesh] = [
             TriMesh.read(m).normalize_unit_cube() for m in args.mesh
         ]
+        sched_fit = engine.sched
+        if (
+            args.fit_steps is not None
+            and args.fit_steps < engine.sched.num_timesteps
+        ):
+            sched_fit = engine._fit_schedule(args.fit_steps)
+            print(f"fast fitting: {sched_fit.num_timesteps} of "
+                  f"{engine.sched.num_timesteps} guided steps")
         print("fitting meshes to triplanes (batched classifier guidance) ...")
         latents = fit_real_shapes_batched(
-            engine.sched,
+            sched_fit,
             mf_plain,
             engine.unet_params,
             engine.decoder_params,

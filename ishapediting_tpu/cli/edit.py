@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fast editing: respace the w_time edit window to "
                         "this many guided steps (resample noise; "
                         "docs/PERF.md 'Fast editing'); default: full walk")
+    p.add_argument("--fit_steps", type=int, default=None,
+                   help="fast fitting: respace the classifier-guided "
+                        "real-shape fit to this many steps (docs/PERF.md "
+                        "'Fast fitting'); default: guide the full chain")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited")
     p.add_argument("--render", action="store_true",
@@ -152,11 +156,18 @@ def main(argv=None):
             print(f"using cached fit {cache}")
             engine.fit_real_shape(tri_feat_path=cache)
         else:
+            if (
+                args.fit_steps is not None
+                and args.fit_steps < engine.sched.num_timesteps
+            ):
+                print(f"fast fitting: {args.fit_steps} of "
+                      f"{engine.sched.num_timesteps} guided steps")
             print("fitting mesh to triplane (classifier-guided) ...")
             engine.fit_real_shape(
                 mesh_path=args.mesh,
                 path=os.path.dirname(args.mesh) or ".",
                 seed=args.seed,
+                fit_steps=args.fit_steps,
             )
     elif args.latent_npy is not None:
         latent = np.load(args.latent_npy)

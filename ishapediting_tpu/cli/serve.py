@@ -133,11 +133,13 @@ class EditServer:
 
     def _cmd_fit(self, req, emit):
         eng = self._require_engine()
+        fit_steps = req.get("fit_steps")
         eng.fit_real_shape(
             mesh_path=req.get("mesh_path"),
             tri_feat_path=req.get("tri_feat_path"),
             path=req.get("workdir", "."),
             seed=int(req.get("seed", 0)),
+            fit_steps=None if fit_steps is None else int(fit_steps),
         )
         return {
             "vertices": int(len(eng.mesh.vertices)),

@@ -171,6 +171,9 @@ class FitConfig:
     surface_jitter: float = 0.01
     batch_points: int = 40_000
     grad_scale: float = 600.0
+    # fast fitting (framework extension): respace the guided reconstruction
+    # to this many steps (None = reference behavior, guide the full chain)
+    fit_steps: Optional[int] = None
     # direct-Adam alternative (train_triplane_opt, drag_utils.py:473-550)
     opt_epochs: int = 20
     opt_lr: float = 1e-3

@@ -184,6 +184,8 @@ class DragEngine:
         # fast-edit schedules (drag_edit(edit_steps=...)), keyed by count:
         # (window-respaced Schedule, kept chain positions ascending)
         self._fast_edit_scheds: Dict[int, Tuple[Schedule, np.ndarray]] = {}
+        # fast-fit schedules (fit_real_shape(fit_steps=...)), keyed by count
+        self._fit_scheds: Dict[int, Schedule] = {}
 
     # ------------------------------------------------------------------
     # Construction from reference-format assets
@@ -658,6 +660,24 @@ class DragEngine:
             )
         return self._fast_edit_scheds[count]
 
+    def _fit_schedule(self, count: int) -> Schedule:
+        """Coarser respaced chain for FAST real-shape fitting, cached per
+        count (framework extension — the reference guides every step of the
+        full chain, drag_utils.py:443-463). Unlike fast editing this needs
+        no window alignment: the guided fit starts from pure noise and has
+        no cached-feature contract, so a plain ``space_timesteps`` respacing
+        of the base chain is the correct fast schedule."""
+        if count not in self._fit_scheds:
+            if count < 2:
+                raise ValueError(f"fit_steps must be >= 2; got {count}")
+            self._fit_scheds[count] = make_schedule(
+                self.config.diffusion.base_steps,
+                self.config.diffusion.noise_schedule,
+                str(int(count)),
+                rescale_timesteps=self.config.diffusion.rescale_timesteps,
+            )
+        return self._fit_scheds[count]
+
     def drag_edit(
         self,
         sources: np.ndarray,
@@ -931,10 +951,21 @@ class DragEngine:
         tri_feat_path: Optional[str] = None,
         path: str = "./",
         seed: int = 0,
+        fit_steps: Optional[int] = None,
     ) -> None:
         """Fit a user mesh to a triplane latent via classifier-guided
         reconstruction, cache the result (tri_feat.npy, NCHW — reference
-        cache contract), then run the edit-friendly inversion."""
+        cache contract), then run the edit-friendly inversion.
+
+        ``fit_steps`` (fast fitting, framework extension — defaults to
+        ``config.fit.fit_steps``, None = reference behavior): run the
+        guided reconstruction on a respaced chain of that many steps
+        instead of the full ``num_timesteps``. Per-step guidance is
+        ``variance * scale * grad`` and the respaced posterior variance is
+        larger, so fewer steps still inject comparable total guidance;
+        quality trade measured in docs/PERF.md "Fast fitting". The
+        follow-up inversion always runs the full chain (the feature cache
+        and replay contract that editing depends on are unchanged)."""
         if tri_feat_path is not None:
             latent = jnp.asarray(latent_from_nchw(np.load(tri_feat_path)))
             self.latent_inversion(latent)  # sets mesh/mesh0 from the replay
@@ -947,15 +978,20 @@ class DragEngine:
         if center_mesh:
             mesh = mesh.copy().normalize_unit_cube()
 
+        if fit_steps is None:
+            fit_steps = self.config.fit.fit_steps
+        fast = fit_steps is not None and int(fit_steps) < self.sched.num_timesteps
+        sched_fit = self._fit_schedule(int(fit_steps)) if fast else self.sched
+
         t_all = time.perf_counter()
         points, occ = sample_training_points(mesh, self.config.fit, seed=seed)
         points_s = time.perf_counter() - t_all
         mf = self._model_fn_p(feat=False, remat=self.remat)
         fit = self._jit(
-            ("fit_guided",),
+            ("fit_guided", sched_fit.num_timesteps),
             lambda: jax.jit(
                 lambda params, dec, pts, oc, r: fit_guided(
-                    self.sched,
+                    sched_fit,
                     partial(mf, params),
                     dec,
                     pts,
@@ -986,6 +1022,7 @@ class DragEngine:
         nested = self.last_phase_walls or {}
         self.last_phase_walls = {
             "path": "fit",
+            "fit_steps": int(sched_fit.num_timesteps),
             "points_s": round(points_s, 3),
             "guided_s": round(guided_s, 3),
             "inversion_device_s": nested.get("device_s", 0.0),

@@ -136,6 +136,12 @@ class App:  # pragma: no cover - interactive
         self._edit_steps_edit = gui.TextEdit()
         self._edit_steps_edit.text_value = ""
         row.add_child(self._edit_steps_edit)
+        # fast fitting (framework extension): respaced guided-fit step
+        # count; empty = full chain (docs/PERF.md "Fast fitting")
+        row.add_child(gui.Label("Fit steps"))
+        self._fit_steps_edit = gui.TextEdit()
+        self._fit_steps_edit.text_value = ""
+        row.add_child(self._fit_steps_edit)
         panel.add_child(row)
 
         self._start_btn = gui.Button("Start")
@@ -264,13 +270,21 @@ class App:  # pragma: no cover - interactive
         if not self._ensure_engine():
             return
 
+        steps_text = self._fit_steps_edit.text_value.strip()
+        try:
+            fit_steps = int(steps_text) if steps_text else None
+        except ValueError:
+            fit_steps = None
+
         def work():
             self._set_status("inversion...")
             cache = os.path.join(self.real_path, "tri_feat.npy")
             if os.path.isfile(cache):
                 self.engine.fit_real_shape(tri_feat_path=cache)
             else:
-                self.engine.fit_real_shape(mesh=self.mesh, path=self.real_path)
+                self.engine.fit_real_shape(
+                    mesh=self.mesh, path=self.real_path, fit_steps=fit_steps
+                )
             self.update_mesh(self.engine.mesh)
             self._set_status("inversion done")
 

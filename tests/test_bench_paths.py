@@ -28,6 +28,8 @@ def test_bench_product_paths_tiny():
         "inversion_wall_cold_s",
         "fit_wall_s",
         "fit_wall_cold_s",
+        "fast_fit_wall_s",
+        "fast_fit_wall_cold_s",
         "mesh_decode_wall_s",
         "decode_device_s",
         "grid_fetch_s",

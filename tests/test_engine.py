@@ -168,6 +168,38 @@ def test_fit_real_shape_roundtrip(engine, tmp_path):
     assert engine.mesh is not None and engine.w is not None
 
 
+def test_fit_real_shape_fast(engine, tmp_path):
+    """fit_steps (fast fitting, framework extension): the guided fit runs on
+    a respaced chain, the follow-up inversion still runs the full chain, and
+    the phase walls record the realized step count."""
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sphere = grid_to_mesh((0.5 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+
+    engine.clear_params()
+    engine.fit_real_shape(mesh=sphere, path=str(tmp_path), seed=0, fit_steps=4)
+    walls = engine.last_phase_walls
+    assert walls["path"] == "fit" and walls["fit_steps"] == 4
+    assert os.path.exists(tmp_path / "tri_feat.npy")
+    cached = np.load(tmp_path / "tri_feat.npy")
+    assert cached.shape == (1, 6, 16, 16) and np.isfinite(cached).all()
+    # inversion state (feature cache, replay noises) is full-chain as usual
+    w_time = TINY_PIPELINE.edit.w_time
+    assert engine.feature_guidance.shape[0] == w_time
+    assert engine.mesh is not None and engine.w is not None
+
+    # fit_steps >= num_timesteps falls back to the full chain
+    engine.clear_params()
+    engine.fit_real_shape(mesh=sphere, path=str(tmp_path), seed=0,
+                          fit_steps=engine.sched.num_timesteps + 5)
+    assert engine.last_phase_walls["fit_steps"] == engine.sched.num_timesteps
+
+    with pytest.raises(ValueError):
+        engine.fit_real_shape(mesh=sphere, path=str(tmp_path), fit_steps=1)
+
+
 def test_fit_direct(engine, tmp_path):
     from ishapediting_tpu.geometry.marching import grid_to_mesh
 

@@ -174,3 +174,24 @@ def test_fit_guided_reconstructs_held_out_sphere(toy_system, tmp_path):
     # O(1e-4); 1e-3 still catches any real drift (wrong transpose/seed ~ 1e-1)
     cd_cache = chamfer_distance(engine2_mesh_before, engine.mesh, 20_000)
     assert cd_cache < 1e-3, f"tri_feat cache path changed the mesh: {cd_cache}"
+
+
+@pytest.mark.slow
+def test_fast_fit_matches_full_fit_quality(toy_system, tmp_path):
+    """Fast fitting (fit_steps, framework extension): the guided fit on a
+    respaced chain of 10 of 25 steps must still reconstruct the held-out
+    sphere. Per-step guidance is variance * scale * grad and the respaced
+    posterior variance is larger, so fewer steps inject comparable total
+    guidance; this pins the claim with a measured Chamfer gate at the same
+    threshold as the full fit."""
+    engine = toy_system
+    target_mesh = sphere_mesh(center_x=0.1, radius=0.42)
+
+    engine.fit_real_shape(
+        mesh=target_mesh, center_mesh=False, path=str(tmp_path), fit_steps=10
+    )
+    assert engine.last_phase_walls["fit_steps"] == 10
+    recon = engine.mesh0
+    assert recon is not None and len(recon.vertices) > 0, "fast fit: no surface"
+    cd = chamfer_distance(target_mesh, recon, 20_000)
+    assert cd < 0.06, f"fast fit chamfer {cd:.4f} too high"

@@ -91,6 +91,27 @@ def test_drag_edit_steps_passthrough(server):
     assert server.engine.last_phase_walls["edit_steps"] == 3
 
 
+def test_fit_command_with_fit_steps(server, tmp_path):
+    """The fit command runs the real-shape pipeline; fit_steps (fast
+    fitting, framework extension) reaches the engine."""
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+
+    x = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sphere = grid_to_mesh((0.5 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+    mesh_path = tmp_path / "target.obj"
+    sphere.write(str(mesh_path))
+
+    server.engine.clear_params()
+    r = server.handle(
+        {"cmd": "fit", "mesh_path": str(mesh_path),
+         "workdir": str(tmp_path), "fit_steps": 4}
+    )
+    assert r["ok"], r
+    assert r["vertices"] >= 0 and (tmp_path / "tri_feat.npy").exists()
+    assert server.engine.last_phase_walls["fit_steps"] == 4
+
+
 def test_drag_validates_points(server):
     server.handle({"cmd": "sample", "seed": 3})
     r = server.handle({"cmd": "drag", "sources": [[0, 0, 0]], "targets": []})
