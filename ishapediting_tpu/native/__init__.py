@@ -74,6 +74,12 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.write_obj.restype = ctypes.c_longlong
+        lib.write_obj.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+        ]
         _lib = lib
         return lib
 
@@ -123,6 +129,23 @@ def native_smooth_simple(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def native_write_obj(
+    vertices: np.ndarray, triangles: np.ndarray, path: str
+) -> None:
+    """Buffered C++ ascii OBJ writer; byte-identical to the Python writer
+    ("%.8g" vertices, 1-based faces). Fallback: _write_obj in geometry/mesh."""
+    lib = get_lib()
+    v = np.ascontiguousarray(vertices, dtype=np.float64)
+    t = np.ascontiguousarray(triangles, dtype=np.int64)
+    rc = lib.write_obj(
+        os.fsencode(path),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(t),
+    )
+    if rc != 0:
+        raise OSError(f"native write_obj failed (rc={rc}): {path}")
 
 
 def native_points_occupancy(mesh, points: np.ndarray) -> np.ndarray:

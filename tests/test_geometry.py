@@ -214,6 +214,29 @@ def test_native_smooth_matches_scipy_fallback(rng):
     np.testing.assert_allclose(got, v, atol=1e-12)
 
 
+def test_native_obj_writer_byte_identical(rng, tmp_path):
+    """The C++ OBJ writer must produce byte-identical output to the Python
+    per-row writer (the executable spec), including exponent formatting."""
+    try:
+        from ishapediting_tpu.native import native_write_obj
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    nv = 500
+    # varied magnitudes exercise %.8g fixed and exponent notation
+    verts = rng.standard_normal((nv, 3)) * np.array([1.0, 1e-6, 1e4])
+    tris = rng.integers(0, nv, (800, 3)).astype(np.int64)
+    native_write_obj(verts, tris, str(tmp_path / "n.obj"))
+    with open(tmp_path / "p.obj", "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        for t in tris:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+    a = (tmp_path / "n.obj").read_bytes()
+    b = (tmp_path / "p.obj").read_bytes()
+    assert a == b
+
+
 def test_render_mesh(tmp_path):
     from ishapediting_tpu.geometry.render import render_mesh
 
