@@ -175,7 +175,8 @@ class DragEngine:
         # true (n_cells, n_tris) of the last successful device march: the
         # kernel's warm wall is capacity-proportional (ops/marching.py::
         # default_capacities), so later meshes in a session run at the
-        # smallest capacity rung that fits 1.5x the last counts
+        # smallest capacity rung that fits 1.2x the last counts (preferring
+        # rungs the session already compiled — see _decode_mesh_device)
         self._march_hint: Optional[Tuple[int, int]] = None
         self._last_march_stats: Dict[str, int] = {}
         self.train_flag = True  # cooperative stop for drag_edit
@@ -518,7 +519,7 @@ class DragEngine:
         ladder = capacity_ladder(res)
         # Capacity selection: the kernel's warm wall is proportional to
         # max_cells (docs/PERF.md "march capacity sweep"), so run at the
-        # smallest rung that fits 1.5x the last successful counts; without a
+        # smallest rung that fits 1.2x the last successful counts; without a
         # hint, start at the measured-safe default. An overflow climbs the
         # ladder (the counts fetch is exact for cells, an undercount for
         # tris — pick_capacity's strict-climb contract) instead of dropping
@@ -535,6 +536,34 @@ class DragEngine:
                 ladder, int(1.2 * hc) + 1, int(1.2 * ht) + 1
             )
             max_cells, max_tris = picked or (ladder[-1], 3 * ladder[-1])
+            # Prefer a rung this session ALREADY COMPILED when the raw hint
+            # counts (2% safety margin) fit it and it is no larger than the
+            # margined pick: a fresh rung costs a march-program compile plus
+            # two fetch-slice program compiles (~1-2 s each on the tunneled
+            # backend) and a fetch in whatever window the tunnel is in —
+            # far more than the occasional overflow retry the wider margin
+            # protects against. Measured: r04o's fit surface (128k cells)
+            # bounced from the session's settled 174762 rung to a fresh
+            # 262144 rung its counts never needed and paid an 11.8 s mesh
+            # tail; the same surface on the settled rung costs ~1.3 s.
+            if ("decode_march", res, max_cells, max_tris) not in self._jit_cache:
+                with self._lock:
+                    compiled = sorted(
+                        (k[2], k[3])
+                        for k in self._jit_cache
+                        if len(k) == 4 and k[0] == "decode_march" and k[1] == res
+                    )
+                reuse = next(
+                    (
+                        (c, t)
+                        for c, t in compiled
+                        if int(1.02 * hc) + 1 <= c <= max_cells
+                        and int(1.02 * ht) + 1 <= t <= max_tris
+                    ),
+                    None,
+                )
+                if reuse is not None:
+                    max_cells, max_tris = reuse
         else:
             max_cells, max_tris = default_capacities(res)
         # accept the same latent shapes the host path does (a flat or

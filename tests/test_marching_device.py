@@ -196,6 +196,52 @@ def test_engine_device_success_resets_failure_count(monkeypatch):
     assert engine._march_failures == 0 and not engine._device_march_broken
 
 
+def test_engine_reuses_compiled_rung(monkeypatch):
+    """When the margined hint pick lands on a rung the session never
+    compiled but the raw hint counts (2% margin) fit an already-compiled
+    rung no larger, the engine stays on the compiled rung — a fresh rung
+    costs a march-program compile plus fetch-slice program compiles
+    (docs/PERF.md: r04o's fit surface paid an 11.8 s mesh tail this way)."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    # the tiny preset's res=16 ladder has a single rung, which would make
+    # every case below vacuous — substitute a multi-rung ladder around the
+    # default (8192, 24576) capacities
+    monkeypatch.setattr(
+        "ishapediting_tpu.ops.marching.capacity_ladder",
+        lambda res: (4096, 6144, 8192, 12288),
+    )
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    engine.get_mesh(latent, smooth=0)
+    stats1 = dict(engine._last_march_stats)
+    cap, tcap = stats1["march_capacity"], stats1["march_tris_capacity"]
+    assert stats1["march_attempts"] == 1
+
+    # hint whose 1.2x margined pick climbs past the compiled rung while the
+    # raw counts (1.02x) still fit it
+    hc, ht = int(cap / 1.1), int(tcap / 1.1)
+    assert int(1.2 * hc) + 1 > cap and int(1.02 * hc) + 1 <= cap
+    engine._march_hint = (hc, ht)
+    engine.get_mesh(latent, smooth=0)
+    stats2 = engine._last_march_stats
+    assert stats2["march_capacity"] == cap
+    assert stats2["march_tris_capacity"] == tcap
+    assert stats2["march_attempts"] == 1
+
+    # raw hint counts ABOVE the compiled rung: no reuse, the margined pick
+    # stands (a fresh larger rung)
+    engine._march_hint = (cap + 1, tcap + 1)
+    engine.get_mesh(latent, smooth=0)
+    stats3 = engine._last_march_stats
+    assert stats3["march_capacity"] > cap
+
+
 def test_engine_overflow_sticks_after_two(monkeypatch):
     """Capacity overflow (None) twice in a row pins the engine to the host
     path with a warning; a single overflow does not."""
