@@ -517,6 +517,7 @@ class DragEngine:
 
         res = res or self.config.edit.shape_resolution
         ladder = capacity_ladder(res)
+        rung_reused = False
         # Capacity selection: the kernel's warm wall is proportional to
         # max_cells (docs/PERF.md "march capacity sweep"), so run at the
         # smallest rung that fits 1.2x the last successful counts; without a
@@ -537,15 +538,21 @@ class DragEngine:
             )
             max_cells, max_tris = picked or (ladder[-1], 3 * ladder[-1])
             # Prefer a rung this session ALREADY COMPILED when the raw hint
-            # counts (2% safety margin) fit it and it is no larger than the
-            # margined pick: a fresh rung costs a march-program compile plus
-            # two fetch-slice program compiles (~1-2 s each on the tunneled
+            # counts fit it exactly and it is no larger than the margined
+            # pick: a fresh rung costs a march-program compile plus two
+            # fetch-slice program compiles (~1-2 s each on the tunneled
             # backend) and a fetch in whatever window the tunnel is in —
-            # far more than the occasional overflow retry the wider margin
-            # protects against. Measured: r04o's fit surface (128k cells)
-            # bounced from the session's settled 174762 rung to a fresh
-            # 262144 rung its counts never needed and paid an 11.8 s mesh
-            # tail; the same surface on the settled rung costs ~1.3 s.
+            # far more than the occasional overflow retry (one wasted
+            # kernel run + the climb this skipped) the wider margin
+            # protects against. Exact fit, no extra margin: the hint IS the
+            # counts of a surface that already marched successfully, so a
+            # rung holding them raw is proven; margining here re-creates
+            # the boundary bounce this exists to remove. Measured: the
+            # bench fit surface sits at the 174762-cell rung boundary and
+            # chip-side fp nondeterminism flips which side it lands on —
+            # when the margined pick crossed to a fresh 262144 rung the
+            # mesh tail was 11.8-11.9 s (r04m/r04o) vs 1.5-1.6 s on a
+            # settled rung (r04n/r04p).
             if ("decode_march", res, max_cells, max_tris) not in self._jit_cache:
                 with self._lock:
                     compiled = sorted(
@@ -557,13 +564,13 @@ class DragEngine:
                     (
                         (c, t)
                         for c, t in compiled
-                        if int(1.02 * hc) + 1 <= c <= max_cells
-                        and int(1.02 * ht) + 1 <= t <= max_tris
+                        if hc <= c <= max_cells and ht <= t <= max_tris
                     ),
                     None,
                 )
                 if reuse is not None:
                     max_cells, max_tris = reuse
+                    rung_reused = True
         else:
             max_cells, max_tris = default_capacities(res)
         # accept the same latent shapes the host path does (a flat or
@@ -642,6 +649,7 @@ class DragEngine:
             "march_tris": n_tris,
             "march_attempts": attempts,
             "march_fetch_trips": fetch_trips,
+            "march_rung_reused": rung_reused,
         }
         if n_tris == 0:
             return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))

@@ -224,15 +224,17 @@ def test_engine_reuses_compiled_rung(monkeypatch):
     assert stats1["march_attempts"] == 1
 
     # hint whose 1.2x margined pick climbs past the compiled rung while the
-    # raw counts (1.02x) still fit it
-    hc, ht = int(cap / 1.1), int(tcap / 1.1)
-    assert int(1.2 * hc) + 1 > cap and int(1.02 * hc) + 1 <= cap
+    # raw counts still fit it exactly — the boundary case: the hint IS the
+    # counts of a surface that already marched successfully at this rung
+    hc, ht = cap, tcap
+    assert int(1.2 * hc) + 1 > cap
     engine._march_hint = (hc, ht)
     engine.get_mesh(latent, smooth=0)
     stats2 = engine._last_march_stats
     assert stats2["march_capacity"] == cap
     assert stats2["march_tris_capacity"] == tcap
     assert stats2["march_attempts"] == 1
+    assert stats2["march_rung_reused"]
 
     # raw hint counts ABOVE the compiled rung: no reuse, the margined pick
     # stands (a fresh larger rung)
@@ -240,6 +242,7 @@ def test_engine_reuses_compiled_rung(monkeypatch):
     engine.get_mesh(latent, smooth=0)
     stats3 = engine._last_march_stats
     assert stats3["march_capacity"] > cap
+    assert not stats3["march_rung_reused"]
 
 
 def test_engine_overflow_sticks_after_two(monkeypatch):
