@@ -1170,7 +1170,14 @@ class DragEngine:
         self._device_march_broken = False
         self._march_overflows = 0
         self._march_failures = 0
-        self._march_hint = None
+        # _march_hint is deliberately KEPT: it is a performance cache (last
+        # surface's exact counts), not session state — dropping it sends the
+        # next decode to the never-elsewhere-used default rung with a
+        # two-trip fetch whose fresh fetch-program compile + payload rides
+        # whatever window the tunnel is in (the 11.8 s fit mesh tails of
+        # r04m/o/q: fit_real_shape clears params before its inversion, so
+        # every fit decode ran hintless). A stale hint costs at most one
+        # overflow retry (adaptive climb) or an oversized speculative fetch.
 
     def reset_params(self) -> None:
         if self.mesh0 is not None:

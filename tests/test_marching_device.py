@@ -245,6 +245,31 @@ def test_engine_reuses_compiled_rung(monkeypatch):
     assert not stats3["march_rung_reused"]
 
 
+def test_clear_params_keeps_march_hint(monkeypatch):
+    """clear_params resets the edit session but KEEPS the march hint — it
+    is a performance cache, and fit_real_shape clears params before its
+    follow-up inversion, so dropping it sent every fit decode to the
+    hintless default rung with a two-trip fetch (the 11.8 s fit mesh
+    tails of r04m/r04o/r04q; docs/PERF.md capture-list note)."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    engine.get_mesh(latent, smooth=0)
+    hint = engine._march_hint
+    assert hint is not None
+    engine.clear_params()
+    assert engine._march_hint == hint
+    # the next decode speculates off the kept hint: single fetch trip
+    engine.get_mesh(latent, smooth=0)
+    assert engine._last_march_stats["march_fetch_trips"] == 1
+
+
 def test_engine_overflow_sticks_after_two(monkeypatch):
     """Capacity overflow (None) twice in a row pins the engine to the host
     path with a warning; a single overflow does not."""
