@@ -520,13 +520,20 @@ _JSON_EMITTED = threading.Event()
 _PARTIAL = {}
 
 
-def _emit_degraded(reason: str) -> None:
+def _emit_degraded(reason: str, final: bool = True) -> None:
     """Print a well-formed BENCH JSON line even though the bench could not
     finish. The driver captures this process's stdout ONCE per round under
     an external timeout; round 3 produced rc=124 with no JSON at all
     (parsed=null) because every recovery path re-exec'd without printing.
     Any already-measured values ride along (the headline survives a
-    mid-product hang)."""
+    mid-product hang).
+
+    ``final=False`` marks an INTERIM emission (e.g. the probe-retry notice
+    while the run is still going to try for a real record): it must NOT set
+    ``_JSON_EMITTED``, or the deadline guard would treat the null-value
+    interim line as "record already safe" and stop guaranteeing the
+    self-exit — a later mid-product hang would then run into the driver's
+    external kill, the exact client-kill that wedges the tunnel."""
     print(
         json.dumps(
             {
@@ -540,7 +547,8 @@ def _emit_degraded(reason: str) -> None:
         ),
         flush=True,
     )
-    _JSON_EMITTED.set()
+    if final:
+        _JSON_EMITTED.set()
 
 
 def _global_budget() -> tuple:
@@ -886,6 +894,12 @@ def _guarded_main():
     # Layer 2: liveness probe (skipped on explicit-CPU runs and via
     # ISHAPE_BENCH_NO_PROBE=1 — CPU has no tunnel to wedge). Cap covers the
     # worst measured first-compile session penalty (472 s, docs/PERF.md).
+    # The probe is its own short chip-client session immediately before the
+    # bench's init — deliberate: the "back-to-back sessions degrade the
+    # server" failure mode is about KILLED clients and rapid repetition,
+    # and every clean r04 capture ran exactly this probe->bench sequence
+    # (tools/chip_campaign.sh); any leftover debt lands in the separately
+    # reported session_warmup_s/compile_s, never the warm best-of timings.
     probe_needed = (
         os.environ.get("JAX_PLATFORMS", "") != "cpu"
         and not os.environ.get("ISHAPE_BENCH_NO_PROBE")
@@ -897,7 +911,8 @@ def _guarded_main():
                 break
             if probe_try == 0:
                 _emit_degraded(
-                    f"tunnel probe dead after {cap:.0f}s; retrying once"
+                    f"tunnel probe dead after {cap:.0f}s; retrying once",
+                    final=False,  # still going for a real record
                 )
                 time.sleep(
                     float(os.environ.get("ISHAPE_BENCH_RETRY_WAIT_S", "45"))

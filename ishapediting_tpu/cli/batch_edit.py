@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inversion-anchored replay (default) or fresh noise")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="edited_batch")
+    p.add_argument("--remat", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="rematerialize UNet activations in the batched "
+                   "fwd+bwd programs: 'auto' enables it when >8 shapes "
+                   "share a device (batch-8 fwd+bwd fits v5e HBM without "
+                   "remat — tools/probe_dragstep.py — but activation "
+                   "memory scales with shapes-per-device); remat costs "
+                   "~15%% wall (docs/PERF.md)")
     p.add_argument("--feat_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="guidance-feature cache dtype (bfloat16 halves the "
@@ -134,8 +142,18 @@ def main(argv=None):
     mesh = make_mesh(data)
     print(f"{n} shapes over a {data}-device data mesh")
 
-    mf = engine._model_fn_p(feat=True, remat=engine.remat)
-    mf_plain = engine._model_fn_p(feat=False, remat=engine.remat)
+    # Batched fwd+bwd activation memory scales with shapes-per-device; the
+    # engine's remat default (False) is a batch-1 measurement and must not
+    # silently govern N-shape programs (an OOM here previously had no knob)
+    if args.remat == "auto":
+        use_remat = engine.remat or (n // data) > 8
+    else:
+        use_remat = args.remat == "on"
+    if use_remat != engine.remat:
+        print(f"remat={'on' if use_remat else 'off'} for the batched "
+              f"programs ({n // data} shapes/device)")
+    mf = engine._model_fn_p(feat=True, remat=use_remat)
+    mf_plain = engine._model_fn_p(feat=False, remat=use_remat)
     rng = jax.random.PRNGKey(args.seed)
 
     # --- latents: fit real meshes or sample from seeds -------------------

@@ -172,12 +172,18 @@ class DragEngine:
         self._device_march_broken = False
         self._march_overflows = 0
         self._march_failures = 0
-        # true (n_cells, n_tris) of the last successful device march: the
-        # kernel's warm wall is capacity-proportional (ops/marching.py::
-        # default_capacities), so later meshes in a session run at the
-        # smallest capacity rung that fits 1.2x the last counts (preferring
-        # rungs the session already compiled — see _decode_mesh_device)
-        self._march_hint: Optional[Tuple[int, int]] = None
+        # true (n_cells, n_tris) of the last successful device march, PER
+        # grid resolution: the kernel's warm wall is capacity-proportional
+        # (ops/marching.py::default_capacities), so later meshes in a
+        # session run at the smallest capacity rung that fits 1.2x the last
+        # counts (preferring rungs the session already compiled — see
+        # _decode_mesh_device). Keyed by res because counts scale ~res^2:
+        # a 256-res hint applied to a 64-res ladder would overflow past its
+        # top rung (worst-case wall), and the 64-res counts would then send
+        # the next 256-res mesh to the bottom rung (guaranteed overflow
+        # retry) — res alternation (GUI preview vs export) must not bounce
+        # the capacity picks.
+        self._march_hint: Dict[int, Tuple[int, int]] = {}
         self._last_march_stats: Dict[str, int] = {}
         self.train_flag = True  # cooperative stop for drag_edit
         self._lock = threading.Lock()
@@ -526,13 +532,14 @@ class DragEngine:
         # tris — pick_capacity's strict-climb contract) instead of dropping
         # to the host path; each rung is a separate compile, cached per
         # engine, so a session settles onto its right-size program.
-        if self._march_hint is not None:
+        hint = self._march_hint.get(res)
+        if hint is not None:
             # 1.2x margin over the last surface's exact counts: editing
             # moves counts by <<1% per step (measured, bench r04f walls),
             # and an occasional overflow costs one extra run at a cached
             # rung (one compile the first time) — far cheaper than the
             # capacity-proportional wall of a 2x-slack rung on every mesh
-            hc, ht = self._march_hint
+            hc, ht = hint
             picked = pick_capacity(
                 ladder, int(1.2 * hc) + 1, int(1.2 * ht) + 1
             )
@@ -608,11 +615,11 @@ class DragEngine:
                 build(max_cells, max_tris),
             )
             out = fn(self.decoder_params, latent, self.half_range, self.middle)
-            if self._march_hint is not None and attempts == 0:
+            if hint is not None and attempts == 0:
                 # warm path: speculate that counts moved <1.1x since the
                 # last mesh (they move <<1% per edit step, bench r04f) and
                 # fetch counts + triangles together in one round trip
-                spec = fetch_rows(self._march_hint[1], max_tris)
+                spec = fetch_rows(hint[1], max_tris)
                 slab = np.asarray(out[:spec])
             else:
                 slab = np.asarray(out[:1])  # counts-only (cold / retry)
@@ -631,7 +638,7 @@ class DragEngine:
                 return None  # beyond the top rung: host path handles it
             max_cells = max(max_cells, nxt[0])
             max_tris = max(max_tris, nxt[1])
-        self._march_hint = (n_cells, n_tris)
+        self._march_hint[res] = (n_cells, n_tris)
         fetch_trips = 1
         if len(slab) < n_tris + 1:
             # speculation fell short (or counts-only cold path): fetch the

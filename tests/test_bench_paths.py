@@ -199,6 +199,39 @@ def test_bench_guard_global_deadline_emits_json(tmp_path):
     assert rec["detail"]["compile_s"] == 12.0
 
 
+def test_bench_guard_deadline_survives_interim_probe_emission(tmp_path):
+    """A first-probe failure emits an INTERIM degraded line (the run is
+    still going for a real record) — it must NOT disarm the deadline
+    guard: if the retried probe succeeds and main() then hangs past the
+    budget, the guard still bails with a FINAL line and exits 0. Before
+    the final= split, the interim emission set _JSON_EMITTED and the
+    guard treated the null-value probe notice as 'record already safe',
+    leaving a hung process for the driver's external kill — the exact
+    client-kill that wedges the tunnel."""
+    r, json_lines = _run_guard_script(
+        tmp_path,
+        "import time\n"
+        "calls = []\n"
+        "def flaky_probe(cap):\n"
+        "    calls.append(cap)\n"
+        "    return len(calls) > 1  # dead once, then alive\n"
+        "bench._probe_tunnel = flaky_probe\n"
+        "def hang():\n"
+        "    bench._PARTIAL['value'] = 3.9\n"
+        "    time.sleep(600)\n"
+        "bench.main = hang\n",
+        # env JAX_PLATFORMS != cpu so the probe path is active; probes are
+        # stubbed, so no backend is ever touched
+        extra_env={"JAX_PLATFORMS": "axon", "ISHAPE_BENCH_BUDGET_S": "50"},
+    )
+    assert r.returncode == 0
+    assert len(json_lines) == 2  # interim probe notice + final deadline bail
+    assert "retrying once" in json_lines[0]["error"]
+    final = json_lines[-1]
+    assert "budget expired" in final["error"]
+    assert final["value"] == 3.9  # partial headline rides the final record
+
+
 def test_probe_tunnel_alive_and_wedged():
     """The liveness probe returns True on a healthy backend (CPU here) and
     False when the child can't finish before its self-deadline — without

@@ -228,7 +228,8 @@ def test_engine_reuses_compiled_rung(monkeypatch):
     # counts of a surface that already marched successfully at this rung
     hc, ht = cap, tcap
     assert int(1.2 * hc) + 1 > cap
-    engine._march_hint = (hc, ht)
+    res = engine.config.edit.shape_resolution
+    engine._march_hint[res] = (hc, ht)
     engine.get_mesh(latent, smooth=0)
     stats2 = engine._last_march_stats
     assert stats2["march_capacity"] == cap
@@ -238,7 +239,7 @@ def test_engine_reuses_compiled_rung(monkeypatch):
 
     # raw hint counts ABOVE the compiled rung: no reuse, the margined pick
     # stands (a fresh larger rung)
-    engine._march_hint = (cap + 1, tcap + 1)
+    engine._march_hint[res] = (cap + 1, tcap + 1)
     engine.get_mesh(latent, smooth=0)
     stats3 = engine._last_march_stats
     assert stats3["march_capacity"] > cap
@@ -261,13 +262,43 @@ def test_clear_params_keeps_march_hint(monkeypatch):
         jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
     )
     engine.get_mesh(latent, smooth=0)
-    hint = engine._march_hint
-    assert hint is not None
+    hint = dict(engine._march_hint)
+    assert hint  # a successful march recorded its per-res counts
     engine.clear_params()
     assert engine._march_hint == hint
     # the next decode speculates off the kept hint: single fetch trip
     engine.get_mesh(latent, smooth=0)
     assert engine._last_march_stats["march_fetch_trips"] == 1
+
+
+def test_march_hint_keyed_by_res(monkeypatch):
+    """Hints are per-resolution: alternating res (GUI preview vs export)
+    must not bounce the capacity picks — a 256-res hint applied to a
+    64-res ladder overflows past its top rung, and the 64-res counts
+    would then send the next 256-res mesh to the bottom rung (guaranteed
+    overflow retry)."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    import jax
+
+    monkeypatch.setenv("ISHAPE_MARCH_IMPL", "device")
+    engine = DragEngine(TINY_PIPELINE, seed=0)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(7), (1,) + TINY_PIPELINE.latent_shape
+    )
+    res_hi = engine.config.edit.shape_resolution
+    res_lo = max(8, res_hi // 2)
+    engine.get_mesh(latent, smooth=0)
+    hi_stats = dict(engine._last_march_stats)
+    engine.get_mesh(latent, smooth=0, res=res_lo)
+    assert set(engine._march_hint) == {res_hi, res_lo}
+    # back at the high res: same settled capacity, single attempt, and the
+    # kept per-res hint keeps the fetch at one round trip
+    engine.get_mesh(latent, smooth=0)
+    stats = engine._last_march_stats
+    assert stats["march_capacity"] == hi_stats["march_capacity"]
+    assert stats["march_attempts"] == 1
+    assert stats["march_fetch_trips"] == 1
 
 
 def test_engine_overflow_sticks_after_two(monkeypatch):
@@ -499,7 +530,8 @@ def test_engine_speculative_fetch_shortfall(monkeypatch):
     mesh0 = engine.get_mesh(latent, smooth=0)
     n_tris = engine._last_march_stats["march_tris"]
     assert n_tris > 64
-    engine._march_hint = (engine._march_hint[0], 8)  # stale: way under
+    res = engine.config.edit.shape_resolution
+    engine._march_hint[res] = (engine._march_hint[res][0], 8)  # stale: way under
     mesh1 = engine.get_mesh(latent, smooth=0)
     stats = engine._last_march_stats
     assert stats["march_fetch_trips"] == 2  # speculation fell short

@@ -61,7 +61,10 @@ def main():
     from ishapediting_tpu.ops.triplane import decode_grid
 
     cfg = PipelineConfig()
-    engine = DragEngine(cfg, seed=0)
+    # remat=True EXPLICITLY: the engine default flipped to False after this
+    # probe's A/B measured remat's 15% drag-wall cost — relying on the
+    # default here would silently turn the A/B into remat=False vs False
+    engine = DragEngine(cfg, seed=0, remat=True)
     engine._device_march_broken = True  # host mesh path, like the bench
     fetch(engine.unet_params["out.2"]["w"])
     print(f"params ready: {time.time() - t0:.1f}s", flush=True)
@@ -69,15 +72,17 @@ def main():
     latent = jax.random.normal(
         jax.random.PRNGKey(1), (1,) + cfg.latent_shape, jnp.float32
     )
-    # calibrate the decoder bias exactly like bench.py so the host mesh
-    # tail sees the same fragmented surface the r04 walls carried
+    # calibrate the decoder bias exactly like bench.py (0.999 quantile —
+    # ~0.1% voxels inside, the realistic trained-decoder density bench.py
+    # moved to after the r04 pathological-tail finding; this probe's first
+    # run predates that and used 0.985)
     planes = latent_to_planes(latent, engine.half_range, engine.middle)
     g = jax.jit(
         lambda d, p: decode_grid(d, p, res=cfg.edit.shape_resolution,
                                  out_dtype=jnp.float16)
     )(engine.decoder_params, planes)
     grid = np.asarray(g).astype(np.float32)
-    q = float(np.quantile(grid, 0.985))
+    q = float(np.quantile(grid, 0.999))
     engine.decoder_params = dict(engine.decoder_params)
     engine.decoder_params["dense3"] = {
         "w": engine.decoder_params["dense3"]["w"],
@@ -108,7 +113,7 @@ def main():
     ].astype(np.float32)
     target = handle + np.array([0.15, 0.0, 0.0], np.float32)
 
-    # --- drag with remat (shipped default), cold + warm ------------------
+    # --- drag with remat=True (A-arm; shipped default is False) ----------
     for tag, eng in (("remat", engine),):
         t1 = time.time()
         eng.drag_edit(handle[None], target[None], seed=4, noise_mode="replay")
