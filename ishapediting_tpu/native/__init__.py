@@ -87,6 +87,15 @@ def get_lib() -> ctypes.CDLL:
 def native_marching_tetrahedra(grid: np.ndarray, iso: float = 0.0):
     from ishapediting_tpu.geometry.mesh import TriMesh
 
+    if grid.size > 2**31 - 1:
+        # the C++ edge key packs two flat voxel indices into 32 bits each
+        # (native.cpp::edge_vertex); a larger grid would silently collide.
+        # Raising sends grid_to_mesh to the int64-keyed NumPy path. Checked
+        # BEFORE ascontiguousarray so a non-contiguous oversize grid is
+        # never copied just to be rejected.
+        raise ValueError(
+            f"grid size {grid.size} exceeds the native 32-bit edge-key bound"
+        )
     lib = get_lib()
     g = np.ascontiguousarray(grid, dtype=np.float32)
     verts_ptr = ctypes.POINTER(ctypes.c_double)()

@@ -163,6 +163,13 @@ long long marching_tets(const float* grid, long long r0, long long r1,
   *out_nf = nf;
   *out_verts = (double*)malloc(verts.size() * sizeof(double));
   *out_tris = (long long*)malloc(tris.size() * sizeof(long long));
+  if ((verts.size() && !*out_verts) || (tris.size() && !*out_tris)) {
+    free(*out_verts);
+    free(*out_tris);
+    *out_verts = nullptr;
+    *out_tris = nullptr;
+    return 1;  // allocation failed; caller raises and falls back
+  }
   std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(double));
   std::memcpy(*out_tris, tris.data(), tris.size() * sizeof(long long));
   return 0;

@@ -79,6 +79,23 @@ def test_native_matches_numpy_if_available():
     assert np.array_equal(a, b)
 
 
+def test_native_rejects_oversize_grid_before_copying():
+    """Grids past the C++ 32-bit edge-key bound must raise (grid_to_mesh
+    then falls back to the int64-keyed NumPy path) — and must do so BEFORE
+    ascontiguousarray materializes a copy (a stride-tricked 1300^3 view
+    would otherwise allocate 8.8 GB just to be rejected)."""
+    try:
+        from ishapediting_tpu.native import native_marching_tetrahedra
+        native_marching_tetrahedra(sphere_grid(8), 0.0)  # build available?
+    except ImportError:
+        pytest.skip("native build unavailable")
+    big = np.lib.stride_tricks.as_strided(
+        np.zeros(1, np.float32), shape=(1300, 1300, 1300), strides=(0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="edge-key bound"):
+        native_marching_tetrahedra(big, 0.0)
+
+
 def test_occupancy_sphere():
     mesh = grid_to_mesh(sphere_grid(48, 0.6))
     # note: the reference's v/res*2-1 vertex mapping (visualize.py:101)
