@@ -93,7 +93,17 @@ def xstart_model_adapter(base_sched: Schedule, model_fn: ModelFn) -> ModelFn:
 
     def fn(x, t_model):
         out, feat = model_fn(x, t_model)
-        t_orig = t_model.astype(jnp.int32)
+        # invert model_timesteps' rescale: with rescale_timesteps=True the
+        # model receives t_orig * (1000/base_steps) as float — using that
+        # value raw as a gather index silently clamps to the last entry of
+        # the base coefficient arrays for nearly every step (XLA out-of-
+        # bounds gathers clamp, no error)
+        if base_sched.rescale_timesteps:
+            t_orig = jnp.round(
+                t_model * (base_sched.original_num_steps / 1000.0)
+            ).astype(jnp.int32)
+        else:
+            t_orig = t_model.astype(jnp.int32)
         x0_pred, var_values = jnp.split(out.astype(jnp.float32), 2, axis=-1)
         nd = x.ndim
         eps = (
@@ -262,10 +272,9 @@ def ddim_reverse_sample(
     (reference: gaussian_diffusion.py:718-761)."""
     out = p_mean_variance(sched, model_fn, x, t, clip_denoised=clip_denoised)
     nd = x.ndim
-    x32 = x.astype(jnp.float32)
-    eps = (
-        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x32 - out.pred_xstart
-    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+    eps = predict_eps_from_xstart(
+        sched, x.astype(jnp.float32), t, out.pred_xstart
+    )
     alpha_bar_next = extract(sched.alphas_cumprod_next, t, nd)
     mean_pred = out.pred_xstart * jnp.sqrt(alpha_bar_next) + jnp.sqrt(
         1 - alpha_bar_next

@@ -254,6 +254,25 @@ class DragEngine:
     # Model functions + jit cache
     # ------------------------------------------------------------------
 
+    def _check_w_time(self) -> int:
+        """Validate edit.w_time against the respaced chain at the EDITING
+        entry points (generation-only engines, e.g. ``cli.generate
+        --use_dpm 25``, legitimately carry an unused out-of-range default).
+        Out-of-range values would not error on their own: jitted gathers
+        into sched.timestep_map and the coefficient arrays CLAMP silently
+        (XLA semantics), so e.g. respacing "100" with the default
+        w_time=170 would run 70 steps at the t=99 coefficients and corrupt
+        generation, the feature-cache row alignment, and inversion replay
+        with no visible failure."""
+        w_time = self.config.edit.w_time
+        if not 0 < w_time <= self.sched.num_timesteps:
+            raise ValueError(
+                f"edit.w_time={w_time} must be in [1, num respaced steps "
+                f"= {self.sched.num_timesteps}] (timestep_respacing="
+                f"{self.config.diffusion.timestep_respacing!r})"
+            )
+        return w_time
+
     def _model_fn(self, feat: bool, remat: bool = False):
         """Model closure over the *current* params — only for non-jitted or
         externally-jitted use. Jitted engine functions must use
@@ -317,7 +336,7 @@ class DragEngine:
             latent = jnp.asarray(latent, jnp.float32).reshape(shape)
         self.latent_code = np.asarray(latent)
 
-        w_time = self.config.edit.w_time
+        w_time = self._check_w_time()
         feat_dtype = jnp.dtype(self.config.edit.feat_store_dtype)
         mf = self._model_fn_p(feat=True)
         fn = self._jit(
@@ -768,7 +787,7 @@ class DragEngine:
                 "no cached latent: call update_latent_params() or "
                 "fit_real_shape() first"
             )
-        w_time = self.config.edit.w_time
+        w_time = self._check_w_time()
         edit_cfg = self.config.edit
         scale = edit_cfg.grad_scale if scale is None else scale
         cof = edit_cfg.mask_weight if cof is None else cof
@@ -1112,7 +1131,7 @@ class DragEngine:
     def latent_inversion(self, latent: jnp.ndarray, seed: int = 0) -> None:
         """Edit-friendly DDPM inversion: record w, per-step features,
         variances and variance_noise (reference: drag_utils.py:552-566)."""
-        w_time = self.config.edit.w_time
+        w_time = self._check_w_time()
         feat_dtype = jnp.dtype(self.config.edit.feat_store_dtype)
         chunk = self.config.edit.inversion_chunk
         mf = self._model_fn_p(feat=True)

@@ -126,6 +126,33 @@ def test_latent_inversion_replay(engine):
     assert engine.mesh is not None
 
 
+def test_w_time_validated_at_editing_entry_points():
+    """w_time past the respaced chain raises loudly at the EDITING entry
+    points (jitted gathers into timestep_map and coefficient arrays CLAMP
+    silently, so an oversized w_time would corrupt generation, feature
+    alignment, and replay with no visible failure) — while a
+    generation-only engine with the same config still constructs and
+    samples (cli.generate --use_dpm carries an unused w_time=170)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY_PIPELINE,
+        diffusion=dataclasses.replace(
+            TINY_PIPELINE.diffusion, timestep_respacing="4"
+        ),  # 4 respaced steps < w_time=6
+    )
+    engine = DragEngine(cfg, seed=0)  # construction is fine
+    with pytest.raises(ValueError, match="w_time"):
+        engine.update_latent_params(seed=1)
+    with pytest.raises(ValueError, match="w_time"):
+        engine.latent_inversion(
+            jnp.zeros((1,) + cfg.latent_shape, jnp.float32)
+        )
+    # generation-only surface stays usable
+    mesh = engine.get_mesh(smooth=0)
+    assert mesh.vertices.shape[1] == 3
+
+
 def test_inversion_chunk_config_plumbing(engine):
     """EditConfig.inversion_chunk reaches ddpm_inversion and any value
     reproduces the default bit-exactly (the backward evaluations are

@@ -192,3 +192,18 @@ def test_rescale_timesteps_and_xstart_adapter():
     np.testing.assert_allclose(
         np.asarray(out.pred_xstart), x0_const, atol=1e-5
     )
+
+    # same identity with rescale_timesteps=True and base_steps != 1000: the
+    # model receives t_orig * 10.0 as float — the adapter must invert the
+    # rescale before gathering base coefficients (a raw astype(int32) would
+    # clamp the out-of-bounds gather to the last entry, silently using the
+    # final step's coefficients for nearly every step)
+    base_r = make_schedule(100, "linear", "", rescale_timesteps=True)
+    sched10_r = make_schedule(100, "linear", "10", rescale_timesteps=True)
+    adapted_r = xstart_model_adapter(base_r, xstart_model)
+    out_r = p_mean_variance(
+        sched10_r, adapted_r, x, jnp.array([5]), clip_denoised=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r.pred_xstart), x0_const, atol=1e-5
+    )
