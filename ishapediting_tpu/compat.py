@@ -60,6 +60,22 @@ def arap(mesh: TriMesh, static_ids, handle_ids, handle_pos, max_iter: int = 50) 
     return arap_deform(mesh, constraint_ids, constraint_pos, max_iter=max_iter)
 
 
+def _planes_to_nhwc(triplanes: np.ndarray) -> np.ndarray:
+    """[3,C,H,H] (reference NCHW) -> [3,H,H,C]; [3,H,H,C] passes through.
+    Planes are square spatially, so the layout is identified by which pair
+    of trailing dims matches; a full cube (C == H) is ambiguous and treated
+    as NHWC (our native layout)."""
+    if triplanes.ndim != 4 or triplanes.shape[0] != 3:
+        raise ValueError(f"expected [3,...] triplanes, got {triplanes.shape}")
+    if triplanes.shape[2] == triplanes.shape[3] != triplanes.shape[1]:
+        return triplanes.transpose(0, 2, 3, 1)
+    if triplanes.shape[1] != triplanes.shape[2]:
+        raise ValueError(
+            f"planes are not square in either layout: {triplanes.shape}"
+        )
+    return triplanes
+
+
 def create_obj(
     decoder_params: Dict,
     triplanes: np.ndarray,
@@ -74,10 +90,7 @@ def create_obj(
     from ishapediting_tpu.ops.triplane import decode_grid
 
     triplanes = np.asarray(triplanes, np.float32)
-    if triplanes.ndim == 4 and triplanes.shape[1] <= triplanes.shape[-1]:
-        # heuristically NCHW if channel dim smaller in position 1
-        if triplanes.shape[1] < triplanes.shape[2]:
-            triplanes = triplanes.transpose(0, 2, 3, 1)
+    triplanes = _planes_to_nhwc(triplanes)
     grid = np.asarray(decode_grid(decoder_params, jnp.asarray(triplanes), res=res))
     mesh = grid_to_mesh(grid, iso=0.0, to_unit=True)
     if output_path:
@@ -100,8 +113,7 @@ def cross_section(
     from ishapediting_tpu.ops.triplane import decode_points_chunked
 
     triplanes = np.asarray(triplanes, np.float32)
-    if triplanes.shape[1] < triplanes.shape[2]:
-        triplanes = triplanes.transpose(0, 2, 3, 1)
+    triplanes = _planes_to_nhwc(triplanes)
     xx = np.linspace(-1, 1, res, dtype=np.float32)
     a, b = np.meshgrid(xx, xx, indexing="ij")
     zeros = np.zeros_like(a)

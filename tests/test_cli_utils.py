@@ -269,3 +269,67 @@ def test_snapshot_steps_out_of_range_is_value_error():
             sched, toy_model, x_T, jax.random.PRNGKey(1),
             snapshot_steps=(100,),
         )
+
+
+def test_decode_cli_single_and_layouts(tmp_path):
+    """cli.decode mirrors the reference visualize.py main() contract
+    (visualize.py:108-128): triplane .npy -> .obj via the decoder. NCHW
+    [3C,H,W] (the generate.py save format), [3,C,H,W], and our NHWC
+    [3,H,W,C] must all decode to the identical mesh."""
+    import ishapediting_tpu.cli.decode as dec
+
+    rng = np.random.RandomState(0)
+    nhwc = rng.randn(3, 8, 8, 32).astype(np.float32) * 2
+    nchw = nhwc.transpose(0, 3, 1, 2)
+    flat = nchw.reshape(96, 8, 8)
+    paths = {}
+    for name, arr in [("nhwc", nhwc), ("nchw", nchw), ("flat", flat)]:
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr)
+        paths[name] = str(p)
+
+    meshes = {}
+    for name, p in paths.items():
+        out = str(tmp_path / f"{name}.obj")
+        dec.main(["--input", p, "--output", out,
+                  "--random_init", "--res", "12"])
+        assert os.path.exists(out)
+        from ishapediting_tpu.geometry.mesh import TriMesh
+
+        meshes[name] = TriMesh.read(out)
+    ref = meshes["nhwc"]
+    assert len(ref.vertices) > 0
+    for name in ("nchw", "flat"):
+        np.testing.assert_allclose(
+            meshes[name].vertices, ref.vertices, atol=1e-5
+        )
+
+
+def test_decode_cli_multi_input_smooth_cross_section(tmp_path):
+    """Directory mode: multiple inputs write <stem>.obj each (one decoder /
+    one compiled grid program); --smooth and --cross_section engage."""
+    import ishapediting_tpu.cli.decode as dec
+
+    rng = np.random.RandomState(1)
+    inputs = []
+    for i in range(2):
+        p = tmp_path / f"tri{i}.npy"
+        np.save(p, rng.randn(96, 8, 8).astype(np.float32) * 2)
+        inputs.append(str(p))
+    out_dir = tmp_path / "objs"
+    dec.main(["--input", *inputs, "--output", str(out_dir),
+              "--random_init", "--res", "12", "--smooth", "2",
+              "--cross_section", "unused-in-dir-mode"])
+    for i in range(2):
+        assert (out_dir / f"tri{i}.obj").exists()
+        assert (out_dir / f"tri{i}_cross.png").exists()
+
+
+def test_decode_cli_rejects_bad_shape(tmp_path):
+    import ishapediting_tpu.cli.decode as dec
+
+    p = tmp_path / "bad.npy"
+    np.save(p, np.zeros((5, 8, 8), np.float32))
+    with pytest.raises(SystemExit, match="not divisible by 3"):
+        dec.main(["--input", str(p), "--output", str(tmp_path / "x.obj"),
+                  "--random_init"])
