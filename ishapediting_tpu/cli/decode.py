@@ -92,6 +92,8 @@ def _load_planes(path: str):
     """npy -> [3, H, W, C] float32 NHWC (accepts the reference's NCHW)."""
     import numpy as np
 
+    from ishapediting_tpu.compat import _planes_to_nhwc
+
     arr = np.asarray(np.load(path), np.float32)
     if arr.ndim == 3:  # [3*C, H, W] flattened NCHW (generate.py contract)
         if arr.shape[0] % 3:
@@ -99,25 +101,20 @@ def _load_planes(path: str):
                 f"{path}: first dim {arr.shape[0]} not divisible by 3 "
                 f"(expected [3C,H,W]); shape={arr.shape}"
             )
+        # layout is KNOWN here — transpose unconditionally (the heuristic
+        # below would mis-handle cube-shaped planes where C == H)
         arr = arr.reshape(3, arr.shape[0] // 3, *arr.shape[1:])
+        return arr.transpose(0, 2, 3, 1)
     if arr.ndim != 4 or arr.shape[0] != 3:
         raise SystemExit(f"{path}: expected 3 planes, got shape {arr.shape}")
-    # planes are square spatially: [3,C,H,H] is NCHW, [3,H,H,C] is NHWC;
-    # a full cube (C == H) is ambiguous — treat as NHWC (our native layout)
-    if arr.shape[2] == arr.shape[3] and arr.shape[1] != arr.shape[2]:
-        arr = arr.transpose(0, 2, 3, 1)  # NCHW -> NHWC
-    elif arr.shape[1] != arr.shape[2]:
-        raise SystemExit(
-            f"{path}: planes are not square in either layout; shape="
-            f"{arr.shape}"
-        )
-    return arr
+    try:
+        return _planes_to_nhwc(arr)
+    except ValueError as exc:
+        raise SystemExit(f"{path}: {exc}") from exc
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import numpy as np  # noqa: F401  (np used via compat helpers)
-
     from ishapediting_tpu.compat import create_obj, cross_section
 
     all_planes = [_load_planes(p) for p in args.input]

@@ -303,6 +303,23 @@ def fast_edit_schedule(
     return fast, positions
 
 
+def validate_w_time(sched: Schedule, w_time: int, context: str = "") -> int:
+    """Fail loudly when an edit window is longer than the respaced chain.
+
+    Out-of-range values would not error on their own: jitted gathers into
+    ``timestep_map`` and the coefficient arrays CLAMP silently (XLA
+    semantics), so e.g. respacing "100" with the default w_time=170 would
+    run 70 steps at the t=99 coefficients and corrupt generation, the
+    feature-cache row alignment, and inversion replay with no visible
+    failure."""
+    if not 0 < w_time <= sched.num_timesteps:
+        raise ValueError(
+            f"w_time={w_time} must be in [1, num respaced steps = "
+            f"{sched.num_timesteps}]" + (f" ({context})" if context else "")
+        )
+    return w_time
+
+
 def model_timesteps(sched: Schedule, t: jnp.ndarray) -> jnp.ndarray:
     """Respaced t -> the value the model's time embedding receives."""
     t_orig = sched.timestep_map[t]

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ishapediting_tpu.core.diffusion import ddpm_inversion
-from ishapediting_tpu.core.schedule import Schedule
+from ishapediting_tpu.core.schedule import Schedule, validate_w_time
 from ishapediting_tpu.edit.drag import DragProblem, build_drag_problem, make_drag_step
 from ishapediting_tpu.edit.features import regroup_features
 from ishapediting_tpu.edit.fit import fit_guided, sample_training_points
@@ -94,6 +94,25 @@ def drag_edit_batched(
     """
     if noise_mode not in ("resample", "fixed_variance", "replay"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if features_batch.shape[1] != w_time:
+        # the silent failure mode here is a clamped jnp.take row gather
+        raise ValueError(
+            f"features_batch has {features_batch.shape[1]} rows but "
+            f"w_time={w_time} (invert_batched records one row per window "
+            "step)"
+        )
+    if edit_positions is None:
+        # full walk: sched IS the full respaced chain
+        validate_w_time(sched, w_time, context="drag_edit_batched")
+    elif not (
+        0 <= np.min(edit_positions) and np.max(edit_positions) < w_time
+    ):
+        # fast editing: sched is the k-step window schedule; the invariant
+        # is that every kept chain position has a feature-cache row
+        raise ValueError(
+            f"edit_positions must lie in [0, w_time={w_time}); got "
+            f"[{np.min(edit_positions)}, {np.max(edit_positions)}]"
+        )
     if edit_positions is not None and noise_mode != "resample":
         raise ValueError(
             "edit_positions (fast editing) supports noise_mode='resample' "
@@ -203,6 +222,7 @@ def invert_batched(
     """
     if mesh is not None:
         latents = jax.device_put(latents, NamedSharding(mesh, P("data")))
+    validate_w_time(sched, w_time, context="invert_batched")
     feat_dtype = jnp.dtype(feat_dtype)
 
     def run(p, x, r):

@@ -47,6 +47,7 @@ from ishapediting_tpu.core.schedule import (
     fast_edit_schedule,
     make_schedule,
     named_beta_schedule,
+    validate_w_time,
 )
 from ishapediting_tpu.edit.drag import (
     DragProblem,
@@ -140,6 +141,11 @@ class DragEngine:
                 self.config.diffusion.base_steps,
                 self.config.diffusion.noise_schedule,
                 "",
+                # the adapter inverts model_timesteps' rescale by this flag
+                # (core/diffusion.py::xstart_model_adapter) — it must match
+                # the respaced sched's, or a rescaled t_model is used raw as
+                # a gather index (silent clamp)
+                rescale_timesteps=self.config.diffusion.rescale_timesteps,
             )
             if self.config.diffusion.predict_xstart
             else None
@@ -258,20 +264,14 @@ class DragEngine:
         """Validate edit.w_time against the respaced chain at the EDITING
         entry points (generation-only engines, e.g. ``cli.generate
         --use_dpm 25``, legitimately carry an unused out-of-range default).
-        Out-of-range values would not error on their own: jitted gathers
-        into sched.timestep_map and the coefficient arrays CLAMP silently
-        (XLA semantics), so e.g. respacing "100" with the default
-        w_time=170 would run 70 steps at the t=99 coefficients and corrupt
-        generation, the feature-cache row alignment, and inversion replay
-        with no visible failure."""
-        w_time = self.config.edit.w_time
-        if not 0 < w_time <= self.sched.num_timesteps:
-            raise ValueError(
-                f"edit.w_time={w_time} must be in [1, num respaced steps "
-                f"= {self.sched.num_timesteps}] (timestep_respacing="
-                f"{self.config.diffusion.timestep_respacing!r})"
-            )
-        return w_time
+        See core.schedule.validate_w_time for why silence is the failure
+        mode."""
+        return validate_w_time(
+            self.sched,
+            self.config.edit.w_time,
+            context="timestep_respacing="
+            f"{self.config.diffusion.timestep_respacing!r}",
+        )
 
     def _model_fn(self, feat: bool, remat: bool = False):
         """Model closure over the *current* params — only for non-jitted or

@@ -439,3 +439,46 @@ def test_batched_per_shape_scale_cof(engine):
             cof=cofs[i],
         )
         np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref), atol=2e-4)
+
+
+def test_batched_w_time_out_of_range_raises(engine):
+    """The batched entry points must fail as loudly as the single-shape
+    engine on an over-long edit window (the silent failure mode is a
+    clamped XLA gather — see core.schedule.validate_w_time)."""
+    sched = engine.sched  # 10 respaced steps in TINY_PIPELINE
+    model_fn_p = engine._model_fn_p(feat=True)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((2,) + TINY_PIPELINE.latent_shape)
+    with pytest.raises(ValueError, match="w_time"):
+        invert_batched(
+            sched, model_fn_p, engine.unet_params, lat, rng, w_time=170
+        )
+
+    w_time = TINY_PIPELINE.edit.w_time
+    feat_w = 8
+    p = build_drag_problem(
+        np.zeros((1, 3), np.float32), np.full((1, 3), 0.1, np.float32),
+        r1=1, voxel_size=0.1, feat_width=feat_w,
+    )
+    stacked = stack_problems([p, p])
+    w_b = jnp.zeros((2, 1) + TINY_PIPELINE.latent_shape)
+    feats_ok = jnp.zeros((2, w_time, 3, feat_w, feat_w, 2))
+    with pytest.raises(ValueError, match="w_time"):
+        drag_edit_batched(
+            sched, model_fn_p, engine.unet_params, w_b, feats_ok,
+            stacked, rng, w_time=170, scale=1.0, cof=0.1,
+        )
+    # row-count mismatch between the feature cache and w_time
+    with pytest.raises(ValueError, match="rows"):
+        drag_edit_batched(
+            sched, model_fn_p, engine.unet_params, w_b,
+            feats_ok[:, :-1], stacked, rng, w_time=w_time,
+            scale=1.0, cof=0.1,
+        )
+    # fast-edit positions outside the recorded window
+    with pytest.raises(ValueError, match="edit_positions"):
+        drag_edit_batched(
+            sched, model_fn_p, engine.unet_params, w_b, feats_ok,
+            stacked, rng, w_time=w_time, scale=1.0, cof=0.1,
+            edit_positions=np.array([0, w_time], np.int32),
+        )

@@ -333,3 +333,26 @@ def test_decode_cli_rejects_bad_shape(tmp_path):
     with pytest.raises(SystemExit, match="not divisible by 3"):
         dec.main(["--input", str(p), "--output", str(tmp_path / "x.obj"),
                   "--random_init"])
+
+
+def test_decode_cli_flat_cube_planes_are_nchw(tmp_path):
+    """The flattened [3C,H,W] input's layout is KNOWN (generate.py saves
+    NCHW) — it must transpose unconditionally even when C == H makes the
+    4-dim heuristic ambiguous ([96,32,32] -> planes [3,32,32,32])."""
+    import ishapediting_tpu.cli.decode as dec
+    from ishapediting_tpu.geometry.mesh import TriMesh
+
+    rng = np.random.RandomState(2)
+    nhwc = rng.randn(3, 32, 32, 32).astype(np.float32)
+    flat = nhwc.transpose(0, 3, 1, 2).reshape(96, 32, 32)
+    p_flat = tmp_path / "flat.npy"
+    p_nhwc = tmp_path / "cube_nhwc.npy"
+    np.save(p_flat, flat)
+    np.save(p_nhwc, nhwc)
+    for name in ("flat", "cube_nhwc"):
+        dec.main(["--input", str(tmp_path / f"{name}.npy"),
+                  "--output", str(tmp_path / f"{name}.obj"),
+                  "--random_init", "--res", "12"])
+    a = TriMesh.read(str(tmp_path / "flat.obj"))
+    b = TriMesh.read(str(tmp_path / "cube_nhwc.obj"))
+    np.testing.assert_allclose(a.vertices, b.vertices, atol=1e-5)

@@ -354,3 +354,28 @@ def test_phase_wall_attribution(engine, tmp_path):
     for key in ("points_s", "guided_s", "inversion_device_s", "mesh_s"):
         assert walls[key] >= 0
     assert walls["total_s"] >= walls["guided_s"]
+
+
+def test_engine_base_sched_carries_rescale_flag():
+    """predict_xstart + rescale_timesteps: the engine's base schedule (used
+    by xstart_model_adapter to invert the model-timestep rescale) must carry
+    the SAME rescale flag as the respaced chain — otherwise the adapter's
+    inversion branch never fires and base-coefficient gathers silently clamp
+    (core/diffusion.py::xstart_model_adapter)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY_PIPELINE,
+        diffusion=dataclasses.replace(
+            TINY_PIPELINE.diffusion,
+            predict_xstart=True,
+            rescale_timesteps=True,
+        ),
+    )
+    eng = DragEngine(cfg, seed=0)
+    assert eng._base_sched is not None
+    assert eng._base_sched.rescale_timesteps is True
+    assert eng.sched.rescale_timesteps is True
+    # the adapted model path must produce finite output end-to-end
+    x0 = eng.update_latent_params(seed=1)
+    assert np.isfinite(np.asarray(x0)).all()
