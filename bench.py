@@ -131,10 +131,9 @@ def _resolved_conv_impl() -> str:
     return f"{choice}({_conv_impl()})" if choice == "auto" else choice
 
 
-def _fetch_scalar(x):
-    # block_until_ready does not block on the tunnel backend; a scalar fetch
-    # drains the in-order device stream (docs/PERF.md)
-    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+# block_until_ready does not block on the tunnel backend; a scalar fetch
+# drains the in-order device stream (shared idiom: utils/device.py)
+from ishapediting_tpu.utils.device import fetch_scalar as _fetch_scalar
 
 
 def bench_product_paths(flops_fwd: float, ceiling_tflops: float = 141.0,
@@ -597,31 +596,48 @@ def _probe_tunnel(deadline_s: float) -> bool:
     import os
     import subprocess
     import sys
+    import tempfile
 
-    try:
-        r = subprocess.run(
+    # NEVER kill the child on lateness (subprocess.run(timeout=...) would):
+    # under heavy load the child's interpreter startup can be slow enough
+    # that its self-exit timer — armed relative to ITS start — fires after
+    # the parent's window, and a SIGKILLed live chip client wedges the
+    # tunnel for hours (CLAUDE.md). A late child is ABANDONED instead; its
+    # daemon timer guarantees it exits on its own.
+    with tempfile.TemporaryFile(mode="w+") as errf:
+        child = subprocess.Popen(
             [sys.executable, "-c", _PROBE_SRC.format(deadline=deadline_s)],
-            capture_output=True,
+            stdout=subprocess.DEVNULL,
+            stderr=errf,
             text=True,
-            timeout=deadline_s + 30,
             env=dict(os.environ),
         )
-        if r.returncode != 0:
-            tail = (r.stderr or "").strip().splitlines()[-1:]
+        t0 = time.time()
+        grace = 60.0  # startup slack on top of the child's own deadline
+        while time.time() - t0 < deadline_s + grace:
+            if child.poll() is not None:
+                break
+            time.sleep(1.0)
+        rc = child.poll()
+        if rc is None:
             print(
-                f"[bench] tunnel probe failed rc={r.returncode}: "
+                f"[bench] tunnel probe still running after "
+                f"{deadline_s + grace:.0f}s; abandoning it (self-exits via "
+                "its daemon timer)",
+                file=sys.stderr,
+                flush=True,
+            )
+            return False
+        if rc != 0:
+            errf.seek(0)
+            tail = errf.read().strip().splitlines()[-1:]
+            print(
+                f"[bench] tunnel probe failed rc={rc}: "
                 f"{' '.join(tail)[:200]}",
                 file=sys.stderr,
                 flush=True,
             )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        print(
-            f"[bench] tunnel probe timed out (> {deadline_s + 30:.0f}s)",
-            file=sys.stderr,
-            flush=True,
-        )
-        return False
+        return rc == 0
 
 
 def main():

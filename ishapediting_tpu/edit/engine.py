@@ -76,17 +76,9 @@ from ishapediting_tpu.models.unet import (
 from ishapediting_tpu.ops.triplane import decode_grid, init_decoder_params
 
 
-def _await_device(*arrays) -> None:
-    """Completion barrier for wall-clock attribution: fetch one scalar
-    derived from each array. ``jax.block_until_ready`` does not block on the
-    tunneled backend (docs/PERF.md "Backend gotchas"), so phase timers force
-    a tiny slice-sum fetch instead — one scalar transfer per array, no
-    full-buffer traffic."""
-    for a in arrays:
-        if a is None or not hasattr(a, "ndim"):
-            continue
-        sl = a[(slice(0, 1),) * a.ndim] if a.ndim else a
-        float(np.asarray(jnp.sum(sl.astype(jnp.float32))))
+# completion barrier for wall-clock attribution (single shared home of the
+# tunneled-backend fetch idiom + its warm-the-slice timing caveat)
+from ishapediting_tpu.utils.device import await_device as _await_device
 
 
 def latent_to_nchw(latent_nhwc: np.ndarray) -> np.ndarray:

@@ -274,7 +274,9 @@ class App:  # pragma: no cover - interactive
         try:
             fit_steps = int(steps_text) if steps_text else None
         except ValueError:
-            fit_steps = None
+            # don't silently run the full slow fit the user asked to skip
+            self._set_status(f"invalid Fit steps {steps_text!r}")
+            return
 
         def work():
             self._set_status("inversion...")
@@ -317,7 +319,9 @@ class App:  # pragma: no cover - interactive
         try:
             edit_steps = int(steps_text) if steps_text else None
         except ValueError:
-            edit_steps = None
+            # don't silently run the full slow walk the user asked to skip
+            self._set_status(f"invalid Steps {steps_text!r}")
+            return
 
         def work():
             self._set_status("editing...")

@@ -307,28 +307,32 @@ long long write_obj(const char* path, const double* verts, long long nv,
   std::vector<char> buf;
   buf.reserve(1 << 22);
   char line[128];
+  bool ok = true;
+  auto flush = [&]() {
+    // a short fwrite (e.g. ENOSPC) must fail the call, or the Python
+    // fallback writer never runs and a truncated OBJ reads as success
+    if (ok && !buf.empty() &&
+        std::fwrite(buf.data(), 1, buf.size(), f) != buf.size())
+      ok = false;
+    buf.clear();
+  };
   for (long long i = 0; i < nv; ++i) {
     int n = std::snprintf(line, sizeof(line), "v %.8g %.8g %.8g\n",
                           verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]);
     buf.insert(buf.end(), line, line + n);
-    if (buf.size() > (1 << 22) - 256) {
-      std::fwrite(buf.data(), 1, buf.size(), f);
-      buf.clear();
-    }
+    if (buf.size() > (1 << 22) - 256) flush();
   }
   for (long long i = 0; i < nt; ++i) {
     int n = std::snprintf(line, sizeof(line), "f %lld %lld %lld\n",
                           tris[3 * i] + 1, tris[3 * i + 1] + 1,
                           tris[3 * i + 2] + 1);
     buf.insert(buf.end(), line, line + n);
-    if (buf.size() > (1 << 22) - 256) {
-      std::fwrite(buf.data(), 1, buf.size(), f);
-      buf.clear();
-    }
+    if (buf.size() > (1 << 22) - 256) flush();
   }
-  if (!buf.empty()) std::fwrite(buf.data(), 1, buf.size(), f);
+  flush();
+  if (std::ferror(f)) ok = false;
   const int rc = std::fclose(f);
-  return rc == 0 ? 0 : 2;
+  return (ok && rc == 0) ? 0 : 2;
 }
 
 }  // extern "C"

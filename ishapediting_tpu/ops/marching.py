@@ -48,6 +48,13 @@ for _code, _tris in _CASES.items():
 
 _CORNER_FLAT_WEIGHTS = None  # computed per-res below
 
+#: Largest res for which orientation gradients use the dense [r^3, 3] grid
+#: (one bandwidth-bound pass + ONE row gather — measured fastest at the 256
+#: product scale, "March kernel" docs/PERF.md). Larger grids switch to six
+#: O(T) per-axis gathers: the dense grid costs 679 MB at 384 / 1.6 GB at
+#: 512 of extra HBM. Tests lower this to pin parity of the two paths.
+_DENSE_GRAD_MAX_RES = 256
+
 
 def _deltas_for_res(res: int) -> np.ndarray:
     """Sorted distinct positive flat-index deltas between tet-edge endpoint
@@ -247,10 +254,28 @@ def marching_tets_device(
     centroid = pos.mean(axis=1)  # [T, 3]
     idx = jnp.clip(jnp.round(centroid).astype(jnp.int32), 0, r - 1)
     flat_idx = idx[:, 0] * (r * r) + idx[:, 1] * r + idx[:, 2]
-    grad_grid = jnp.stack(
-        jnp.gradient(gridf.reshape(r, r, r)), axis=-1
-    ).reshape(-1, 3)
-    grad = grad_grid[flat_idx]  # [T, 3]
+    if r <= _DENSE_GRAD_MAX_RES:
+        grad_grid = jnp.stack(
+            jnp.gradient(gridf.reshape(r, r, r)), axis=-1
+        ).reshape(-1, 3)
+        grad = grad_grid[flat_idx]  # [T, 3]
+    else:
+        # past the 256 product scale the [r^3, 3] gradient grid costs real
+        # HBM (679 MB at 384, 1.6 GB at 512, on top of the grid + payload)
+        # — gather the same central-diff / one-sided-border stencil per
+        # axis at the T centroids instead (6 small gathers, O(T) memory):
+        # np.gradient == (g[min(i+1,r-1)] - g[max(i-1,0)]) / (hi - lo)
+        strides = (r * r, r, 1)
+        parts = []
+        for a in range(3):
+            hi = jnp.minimum(idx[:, a] + 1, r - 1)
+            lo = jnp.maximum(idx[:, a] - 1, 0)
+            base = flat_idx - idx[:, a] * strides[a]
+            diff = gridf[base + hi * strides[a]] - gridf[
+                base + lo * strides[a]
+            ]
+            parts.append(diff / (hi - lo).astype(jnp.float32))
+        grad = jnp.stack(parts, axis=-1)  # [T, 3]
     normal = jnp.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
     flip = jnp.einsum("ij,ij->i", normal, grad) > 0
 

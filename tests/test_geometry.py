@@ -268,3 +268,20 @@ def test_render_mesh(tmp_path):
     from ishapediting_tpu.geometry.mesh import TriMesh
     empty = render_mesh(TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64)), size=32)
     assert (empty == 255).all()
+
+
+def test_native_write_obj_reports_write_failure():
+    """A failed fwrite (ENOSPC) must surface as OSError, not a silently
+    truncated 'successful' OBJ — /dev/full fails every write, and the mesh
+    is large enough (>4 MB of text) to force a mid-stream buffer flush."""
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full unavailable")
+    try:
+        from ishapediting_tpu.native import native_write_obj
+    except ImportError:
+        pytest.skip("native build unavailable")
+    n = 200_000
+    verts = np.random.default_rng(0).standard_normal((n, 3))
+    tris = np.zeros((1, 3), np.int64)
+    with pytest.raises(OSError, match="write_obj failed"):
+        native_write_obj(verts, tris, "/dev/full")

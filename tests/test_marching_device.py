@@ -541,3 +541,20 @@ def test_engine_speculative_fetch_shortfall(monkeypatch):
     # refreshed hint: back to ONE round trip
     engine.get_mesh(latent, smooth=0)
     assert engine._last_march_stats["march_fetch_trips"] == 1
+
+
+def test_gather_gradient_path_matches_dense(monkeypatch):
+    """Grids past _DENSE_GRAD_MAX_RES orient triangles via six per-axis
+    centroid gathers instead of the dense [r^3,3] gradient grid (HBM cost
+    at res>256) — both must realize np.gradient's central-diff/one-sided
+    stencil identically, i.e. the same winding on every triangle."""
+    import ishapediting_tpu.ops.marching as m
+
+    grid = _blob_grid(32)
+    dense = device_grid_to_mesh(jnp.asarray(grid), iso=0.0, to_unit=False)
+    monkeypatch.setattr(m, "_DENSE_GRAD_MAX_RES", 0)
+    gathered = device_grid_to_mesh(jnp.asarray(grid), iso=0.0, to_unit=False)
+    assert dense is not None and gathered is not None
+    np.testing.assert_array_equal(dense.triangles, gathered.triangles)
+    np.testing.assert_allclose(dense.vertices, gathered.vertices, atol=0)
+    assert _signed_volume(dense) == pytest.approx(_signed_volume(gathered))

@@ -37,8 +37,7 @@ from ishapediting_tpu.models.unet import init_unet_params, unet_apply
 RESULTS = {}
 
 
-def fetch(x):
-    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+from ishapediting_tpu.utils.device import fetch_scalar as fetch  # noqa: E402
 
 
 def _arm_self_deadline():

@@ -45,8 +45,7 @@ def _arm_self_deadline():
     threading.Thread(target=bail, daemon=True).start()
 
 
-def fetch(x):
-    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+from ishapediting_tpu.utils.device import fetch_scalar as fetch  # noqa: E402
 
 
 def main():
