@@ -287,6 +287,38 @@ def ddim_reverse_sample(
 # ---------------------------------------------------------------------------
 
 
+def ddim_reverse_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    *,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Deterministic DDIM encode: walk the reverse ODE x_0 -> x_T as one
+    ascending scan of ``ddim_reverse_sample`` (the reference ships only the
+    single step, gaussian_diffusion.py:718-761, with no loop or caller).
+    The round trip ``ddim_sample_loop(ddim_reverse_sample_loop(x0))``
+    approximately reproduces x0 (order-1 ODE discretization error — tested
+    in tests/test_diffusion.py), which is what makes the encoding a usable
+    latent-space embedding (morphing, semantic interpolation)."""
+
+    def step(x, t):
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        out = ddim_reverse_sample(
+            sched, model_fn, x, tb, clip_denoised=clip_denoised
+        )
+        return out["sample"], None
+
+    # ascend t = 0 .. T-2: step t lifts noise level abar[t] -> abar[t+1],
+    # ending at abar[T-1] — the level ddim_sample_loop's FIRST step (t=T-1)
+    # consumes. Including t=T-1 would lift to alphas_cumprod_next[T-1] == 0
+    # and zero the signal term (the boundary convention of the appended
+    # array), destroying the encoding.
+    ts = jnp.arange(0, sched.num_timesteps - 1)
+    x, _ = jax.lax.scan(step, x0.astype(jnp.float32), ts)
+    return x
+
+
 def _scan_steps(step_fn, x0_carry, t_hi: int, t_lo: int):
     """Scan t = t_hi-1 ... t_lo (descending). step_fn(carry, t) -> (carry, y)."""
     ts = jnp.arange(t_hi - 1, t_lo - 1, -1)

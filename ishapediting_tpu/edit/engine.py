@@ -1170,6 +1170,71 @@ class DragEngine:
             "total_s": round(time.perf_counter() - t_all, 3),
         }
 
+    def sample_latent(
+        self, seed: int = 0, latent: Optional[jnp.ndarray] = None
+    ) -> np.ndarray:
+        """Plain ancestral sample -> normalized latent [1, H, W, C], WITHOUT
+        the per-step feature caching of ``update_latent_params`` (for
+        consumers that don't edit, e.g. morphing — the feature cache is the
+        dominant memory cost of a generation)."""
+        from ishapediting_tpu.core.diffusion import p_sample_loop
+
+        shape = (1,) + self.config.latent_shape
+        if latent is None:
+            latent = jax.random.normal(jax.random.PRNGKey(seed), shape)
+        else:
+            latent = jnp.asarray(latent, jnp.float32).reshape(shape)
+        mf = self._model_fn_p(feat=False)
+        clip = self.config.diffusion.clip_denoised
+        fn = self._jit(
+            ("sample_plain",),
+            lambda: jax.jit(
+                lambda params, x, r: p_sample_loop(
+                    self.sched, partial(mf, params), x, r, clip_denoised=clip
+                )
+            ),
+        )
+        return np.asarray(
+            fn(self.unet_params, latent, jax.random.PRNGKey(seed + 1))
+        )
+
+    def morph(
+        self,
+        latent_a: jnp.ndarray,
+        latent_b: jnp.ndarray,
+        n: int = 5,
+    ) -> np.ndarray:
+        """Latent-space morph between two shapes (framework extension):
+        DDIM-encode both normalized latents to the noise shell, slerp at
+        ``n`` uniform mix weights, decode all frames in ONE batched DDIM
+        scan (edit/morph.py). Returns normalized latents [n, H, W, C];
+        decode frames with ``get_mesh(latents[k][None])``."""
+        from ishapediting_tpu.edit.morph import morph_latents
+
+        if n < 2:
+            raise ValueError(f"need at least 2 morph frames, got {n}")
+        shape = (1,) + self.config.latent_shape
+        a = jnp.asarray(latent_a, jnp.float32).reshape(shape)
+        b = jnp.asarray(latent_b, jnp.float32).reshape(shape)
+        alphas = tuple(float(x) for x in np.linspace(0.0, 1.0, n))
+        mf = self._model_fn_p(feat=False)
+        clip = self.config.diffusion.clip_denoised
+
+        fn = self._jit(
+            ("morph", n),
+            lambda: jax.jit(
+                lambda params, xa, xb: morph_latents(
+                    self.sched,
+                    partial(mf, params),
+                    xa[0],
+                    xb[0],
+                    alphas,
+                    clip_denoised=clip,
+                )
+            ),
+        )
+        return np.asarray(fn(self.unet_params, a, b))
+
     # ------------------------------------------------------------------
     # Session state (reference: drag_utils.py:568-583)
     # ------------------------------------------------------------------
