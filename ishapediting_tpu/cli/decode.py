@@ -114,6 +114,9 @@ def _load_planes(path: str):
 
 
 def main(argv=None):
+    from ishapediting_tpu.utils.device import honor_env_platform
+
+    honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     args = build_parser().parse_args(argv)
     from ishapediting_tpu.compat import create_obj, cross_section
 

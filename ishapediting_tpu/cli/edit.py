@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ishapediting_tpu.utils.device import honor_env_platform
+
+    honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     args = build_parser().parse_args(argv)
     from ishapediting_tpu.config import preset
     from ishapediting_tpu.edit.engine import DragEngine, latent_from_nchw

@@ -134,6 +134,9 @@ def evaluate_pair(
 
 
 def main(argv=None):
+    from ishapediting_tpu.utils.device import honor_env_platform
+
+    honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     args = build_parser().parse_args(argv)
     handles = _handles(args)
     if "local" in args.metrics and handles is None:

@@ -64,6 +64,9 @@ def _endpoint_latent(engine, seed, tri_path, which):
 
 
 def main(argv=None):
+    from ishapediting_tpu.utils.device import honor_env_platform
+
+    honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     args = build_parser().parse_args(argv)
     import numpy as np
 
@@ -82,10 +85,22 @@ def main(argv=None):
     lat_b = _endpoint_latent(engine, args.seed_b, args.tri_b, "b")
 
     t0 = time.time()
-    latents = engine.morph(lat_a, lat_b, n=args.frames)
+    mesh = None
+    try:
+        import jax
+
+        from ishapediting_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and args.frames % n_dev == 0:
+            mesh = make_mesh(n_dev)  # one frame trajectory per device
+    except Exception:
+        mesh = None
+    latents = engine.morph(lat_a, lat_b, n=args.frames, mesh=mesh)
     print(
-        f"morphed {args.frames} frames "
-        f"(batched encode+decode, {round(time.time() - t0, 3)}s)"
+        f"morphed {args.frames} frames (batched encode+decode"
+        + (f", sharded over {mesh.shape}" if mesh is not None else "")
+        + f", {round(time.time() - t0, 3)}s)"
     )
 
     os.makedirs(args.out, exist_ok=True)

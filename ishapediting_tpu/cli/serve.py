@@ -146,6 +146,38 @@ class EditServer:
             "triangles": int(len(eng.mesh.triangles)),
         }
 
+    def _cmd_morph(self, req, emit):
+        """{"cmd": "morph", "seed_a": 1, "seed_b": 2, "frames": 5,
+        "out_dir": "morphs/"} — latent-space morph (framework extension);
+        endpoints from seeds or normalized-latent .npy paths
+        ("latent_a"/"latent_b"). Streams one progress event per decoded
+        frame; writes frame_kk.obj + latents.npy when out_dir is given."""
+        eng = self._require_engine()
+
+        def endpoint(which):
+            path = req.get(f"latent_{which}")
+            if path is not None:
+                return np.load(path)
+            return eng.sample_latent(seed=int(req.get(f"seed_{which}", 0)))
+
+        frames = eng.morph(
+            endpoint("a"), endpoint("b"), n=int(req.get("frames", 5))
+        )
+        out = {"frames": int(frames.shape[0])}
+        out_dir = req.get("out_dir")
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, "latents.npy"), frames)
+            for k in range(frames.shape[0]):
+                mesh = eng.get_mesh(
+                    frames[k][None], smooth=int(req.get("smooth", 10))
+                )
+                mesh.write(os.path.join(out_dir, f"frame_{k:02d}.obj"))
+                emit({"event": "morph_frame", "frame": k,
+                      "vertices": int(len(mesh.vertices))})
+            out["out_dir"] = out_dir
+        return out
+
     # -- editing -----------------------------------------------------------
 
     def _cmd_drag(self, req, emit):
@@ -325,6 +357,9 @@ def _readable(stream) -> bool:
 
 
 def main(argv=None):
+    from ishapediting_tpu.utils.device import honor_env_platform
+
+    honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true", help="pin JAX to CPU")
     args = ap.parse_args(argv)

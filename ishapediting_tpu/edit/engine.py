@@ -1203,12 +1203,15 @@ class DragEngine:
         latent_a: jnp.ndarray,
         latent_b: jnp.ndarray,
         n: int = 5,
+        mesh=None,
     ) -> np.ndarray:
         """Latent-space morph between two shapes (framework extension):
         DDIM-encode both normalized latents to the noise shell, slerp at
         ``n`` uniform mix weights, decode all frames in ONE batched DDIM
-        scan (edit/morph.py). Returns normalized latents [n, H, W, C];
-        decode frames with ``get_mesh(latents[k][None])``."""
+        scan (edit/morph.py). With ``mesh`` (a jax data mesh, n divisible
+        by its data axis) the frame decode shards one trajectory per
+        device. Returns normalized latents [n, H, W, C]; decode frames
+        with ``get_mesh(latents[k][None])``."""
         from ishapediting_tpu.edit.morph import morph_latents
 
         if n < 2:
@@ -1221,7 +1224,7 @@ class DragEngine:
         clip = self.config.diffusion.clip_denoised
 
         fn = self._jit(
-            ("morph", n),
+            ("morph", n, mesh is not None and str(mesh.shape)),
             lambda: jax.jit(
                 lambda params, xa, xb: morph_latents(
                     self.sched,
@@ -1230,6 +1233,7 @@ class DragEngine:
                     xb[0],
                     alphas,
                     clip_denoised=clip,
+                    mesh=mesh,
                 )
             ),
         )

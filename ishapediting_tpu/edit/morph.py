@@ -54,6 +54,7 @@ def morph_latents(
     *,
     clip_denoised: bool = True,
     rng: Optional[jax.Array] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Morph between two clean latents: returns [K, H, W, C] decoded
     latents at the given mix weights (alpha=0 -> a, 1 -> b; endpoints are
@@ -71,6 +72,14 @@ def morph_latents(
     mixed = slerp(
         noises[0], noises[1], jnp.asarray(list(alphas), jnp.float32)
     )  # [K, H, W, C]
+    if mesh is not None:
+        # frames are independent trajectories: shard K over the data axis
+        # (GSPMD keeps each chain chip-local through the whole decode scan)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mixed = jax.lax.with_sharding_constraint(
+            mixed, NamedSharding(mesh, P("data"))
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)  # unused at eta=0 (deterministic)
     return ddim_sample_loop(

@@ -13,8 +13,24 @@ Warm the exact slice shape first (CLAUDE.md; bench.py decode timing).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def honor_env_platform() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` actually mean CPU. The tunnel plugin's
+    .pth hook re-registers its backend at interpreter start and overrides
+    the env var, so a user running ``JAX_PLATFORMS=cpu python -m
+    ishapediting_tpu.cli....`` would silently hit the real chip
+    (docs/PERF.md / CLAUDE.md). Every CLI main calls this before the first
+    backend touch; bench.py and __graft_entry__ carry the same pin."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def fetch_scalar(x) -> float:

@@ -135,3 +135,21 @@ def test_engine_morph_and_cli(tmp_path):
     ])
     lat2 = np.load(out2 / "latents.npy")
     np.testing.assert_allclose(lat2[0], lat[0], atol=1e-3)
+
+
+def test_engine_morph_sharded_matches_single():
+    """Frame decode sharded one-trajectory-per-device must equal the
+    single-device result (GSPMD layout only, same math)."""
+    from tests.test_engine import TINY_PIPELINE
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    eng = DragEngine(TINY_PIPELINE, seed=0)
+    la = eng.sample_latent(seed=1)
+    lb = eng.sample_latent(seed=2)
+    n = len(jax.devices())
+    single = eng.morph(la, lb, n=n)
+    sharded = eng.morph(la, lb, n=n, mesh=make_mesh(n))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)

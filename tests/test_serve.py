@@ -149,3 +149,28 @@ def test_init_random_tiny():
     r = s.handle({"cmd": "init_random", "preset": "tiny", "seed": 1})
     assert r["ok"] and s.engine is not None
     assert s.engine.config.unet.image_size == 16
+
+
+def test_morph_command(server, tmp_path):
+    events = []
+    out = tmp_path / "m"
+    r = server.handle(
+        {"cmd": "morph", "seed_a": 1, "seed_b": 2, "frames": 3,
+         "smooth": 2, "out_dir": str(out)},
+        emit=events.append,
+    )
+    assert r["ok"], r
+    assert r["frames"] == 3
+    lat = np.load(out / "latents.npy")
+    assert lat.shape[0] == 3 and np.isfinite(lat).all()
+    assert [e["frame"] for e in events if e.get("event") == "morph_frame"] \
+        == [0, 1, 2]
+    for k in range(3):
+        assert (out / f"frame_{k:02d}.obj").exists()
+    # latent-path endpoints: reuse a frame as endpoint A
+    np.save(tmp_path / "a.npy", lat[0])
+    r = server.handle(
+        {"cmd": "morph", "latent_a": str(tmp_path / "a.npy"),
+         "seed_b": 2, "frames": 2}
+    )
+    assert r["ok"] and r["frames"] == 2
