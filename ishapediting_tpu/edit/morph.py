@@ -30,8 +30,10 @@ def slerp(a: jnp.ndarray, b: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     Falls back to lerp when the endpoints are (anti-)parallel."""
     a32 = a.astype(jnp.float32).reshape(-1)
     b32 = b.astype(jnp.float32).reshape(-1)
-    na = jnp.linalg.norm(a32)
-    nb = jnp.linalg.norm(b32)
+    # a zero endpoint has no direction: clamp the norms so the cosine is 0
+    # (quarter-circle arc toward the other endpoint) instead of 0/0 NaNs
+    na = jnp.maximum(jnp.linalg.norm(a32), 1e-12)
+    nb = jnp.maximum(jnp.linalg.norm(b32), 1e-12)
     cos = jnp.clip(jnp.dot(a32 / na, b32 / nb), -1.0, 1.0)
     theta = jnp.arccos(cos)
     alpha = jnp.asarray(alpha, jnp.float32)

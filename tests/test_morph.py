@@ -64,6 +64,13 @@ def test_slerp_endpoints_and_norm():
     # (anti-)parallel endpoints fall back to lerp, no NaNs
     same = slerp(a, a, jnp.asarray([0.25]))
     np.testing.assert_allclose(np.asarray(same[0]), np.asarray(a), atol=1e-5)
+    # a zero endpoint must not produce NaNs (clamped norms), and the
+    # endpoints still hit exactly
+    z = jnp.zeros_like(a)
+    zo = slerp(z, b, jnp.asarray([0.0, 0.5, 1.0]))
+    assert np.isfinite(np.asarray(zo)).all()
+    np.testing.assert_allclose(np.asarray(zo[0]), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zo[2]), np.asarray(b), atol=1e-5)
 
 
 def test_morph_latents_endpoints_are_roundtrips():
