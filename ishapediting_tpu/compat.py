@@ -187,7 +187,7 @@ def noise2shape(
             latent_shape=engine.config.latent_shape,
             rng=jax.random.PRNGKey(seed + i),
             use_ddim=use_ddim,
-            model_fn_p=engine._model_fn_p(feat=False),
+            model_fn_p=engine.model_fn_p(feat=False),
             params=engine.unet_params,
         )
         samples.append(np.asarray(out))

@@ -275,6 +275,17 @@ class DragEngine:
         params = self.unet_params
         return lambda x, t_orig: fn(params, x, t_orig)
 
+    def model_fn_p(self, feat: bool = False, remat: bool = False):
+        """Public params-first model function ``fn(params, x, t_orig)``.
+
+        The supported way for external callers (``compat.noise2shape``,
+        ``parallel.sampling``) to drive this engine's UNet inside their own
+        jitted programs: pass ``engine.unet_params`` as the first argument so
+        params stay function inputs, never jaxpr constants (see
+        ``_model_fn``'s compile-time note). ``feat=True`` additionally
+        returns the tapped guidance feature map."""
+        return self._model_fn_p(feat, remat)
+
     def _model_fn_p(self, feat: bool, remat: bool = False):
         cfg = self.config.unet
         feat_layer = self.config.edit.feat_layer if feat else -1

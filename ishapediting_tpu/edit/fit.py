@@ -152,8 +152,14 @@ def fit_direct(
     cfg: FitConfig,
     *,
     latent_shape: Tuple[int, int, int],
+    _eager_loop: bool = False,
 ) -> jnp.ndarray:
     """Direct Adam fit of the physical planes (reference: drag_utils.py:473-550).
+
+    The optimization runs as ONE jitted ``lax.scan`` over all
+    ``opt_epochs * steps_per_epoch`` Adam steps (the reference runs an eager
+    torch loop); ``_eager_loop=True`` selects the per-step-dispatch variant,
+    kept only for the bit-parity test.
 
     Returns the *normalized* latent [1, H, W, 96] ((tri - middle)/half_range,
     reference: drag_utils.py:547)."""
@@ -172,9 +178,9 @@ def fit_direct(
     opt_state = opt.init(planes)
     p_total = points.shape[0]
     steps_per_epoch = max(1, p_total // cfg.batch_points)
+    total_steps = cfg.opt_epochs * steps_per_epoch
 
-    @jax.jit
-    def train_step(planes, opt_state, key):
+    def train_step(decoder, points, occupancies, planes, opt_state, key):
         k_batch, k_rand, k_off = jax.random.split(key, 3)
         idx = jax.random.randint(k_batch, (cfg.batch_points,), 0, p_total)
         coords = points[idx]
@@ -200,10 +206,38 @@ def fit_direct(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(planes, updates), opt_state
 
-    for epoch in range(cfg.opt_epochs):
-        for i in range(steps_per_epoch):
+    if _eager_loop:
+        # Per-step-dispatch reference path, kept only so tests can assert the
+        # scan below is bit-identical to it. ~28 ms/dispatch on the tunnel
+        # makes this path crawl at real recipes — never use it in product.
+        step_jit = jax.jit(train_step)
+        for _ in range(total_steps):
             rng, key = jax.random.split(rng)
-            planes, opt_state = train_step(planes, opt_state, key)
+            planes, opt_state = step_jit(
+                decoder, points, occupancies, planes, opt_state, key
+            )
+    else:
+        # One compiled program: lax.scan over (epochs x steps_per_epoch) with
+        # the rng carried and split exactly like the eager loop, so the key
+        # sequence (and therefore the result) is bit-identical.
+        @jax.jit
+        def run(decoder, points, occupancies, planes, opt_state, rng):
+            def body(carry, _):
+                planes, opt_state, rng = carry
+                rng, key = jax.random.split(rng)
+                planes, opt_state = train_step(
+                    decoder, points, occupancies, planes, opt_state, key
+                )
+                return (planes, opt_state, rng), None
+
+            (planes, opt_state, _), _ = jax.lax.scan(
+                body, (planes, opt_state, rng), None, length=total_steps
+            )
+            return planes, opt_state
+
+        planes, opt_state = run(
+            decoder, points, occupancies, planes, opt_state, rng
+        )
 
     tri = planes.transpose(1, 2, 0, 3).reshape(1, h, w, c)
     return (tri - middle) / half_range

@@ -17,6 +17,29 @@ from ishapediting_tpu.geometry.metrics import chamfer_distance
 from ishapediting_tpu.ops.triplane import decode_grid, init_decoder_params
 
 
+def test_direct_fit_scan_matches_eager_loop():
+    """The single-program lax.scan fit must be bit-identical to the
+    per-step-dispatch loop it replaced (same rng split sequence)."""
+    rng = np.random.default_rng(0)
+    pts = (rng.random((600, 3)) * 2 - 1).astype(np.float32)
+    occ = (np.linalg.norm(pts, axis=1) < 0.5).astype(np.float32)
+    dec = init_decoder_params(
+        jax.random.PRNGKey(1), in_channels=8, mapping=16, hidden=32
+    )
+    cfg = FitConfig(points_size=600, batch_points=200, opt_epochs=2, opt_lr=3e-3)
+    hr, mid = jnp.ones(24), jnp.zeros(24)
+    kwargs = dict(latent_shape=(16, 16, 24))
+    args = (
+        dec, jnp.asarray(pts), jnp.asarray(occ), hr, mid,
+        np.zeros(24, np.float32), np.full(24, 0.001, np.float32),
+    )
+    scanned = fit_direct(*args, jax.random.PRNGKey(7), cfg, **kwargs)
+    eager = fit_direct(
+        *args, jax.random.PRNGKey(7), cfg, _eager_loop=True, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(scanned), np.asarray(eager))
+
+
 @pytest.mark.slow
 def test_direct_fit_reconstructs_sphere():
     x = np.linspace(-1, 1, 48)
