@@ -132,7 +132,9 @@ class TriangleMesh:
         return self
 
     def rotate(self, R, center=None):
-        c = np.zeros(3) if center is None else np.asarray(center)
+        # real open3d's no-center overload rotates about the geometry's own
+        # center (Geometry3D.rotate docs) — keep the fake's default honest
+        c = self.vertices.mean(axis=0) if center is None else np.asarray(center)
         self.vertices = (self.vertices - c) @ np.asarray(R).T + c
         self.transforms.append(("rotate", np.asarray(R)))
         return self
