@@ -118,3 +118,54 @@ def test_fixed_seed_guidance_reduces_motion_loss(gate_engine):
         f"edit turned global: IoU outside handle region {loc:.3f} vs "
         f"recorded {achieved_iou:.3f}"
     )
+
+
+def test_multi_handle_guidance(gate_engine):
+    """TWO-handle drag gate (reference supports K handles,
+    drag_utils.py:302-399): per-handle masking/broadcast bugs don't show in
+    the single-handle test. Recorded (round 5, tools/bench_quality.py::
+    multi_handle_metrics): reduction +0.102, locality 0.788 at 2x the
+    asset scale; gates at ~half."""
+    from tools.bench_quality import multi_handle_metrics
+
+    engine, npz = gate_engine
+    m = multi_handle_metrics(
+        engine, jnp.asarray(npz["latent0"][None]), int(npz["eval_seed"]),
+        float(npz["scale"]), float(npz["cof"]),
+    )
+    assert m["edited_nonempty"], "multi-handle edit produced an empty mesh"
+    assert m["motion_loss_reduction"] >= 0.05, (
+        f"multi-handle guidance regressed: {m['motion_loss_reduction']:+.3f} "
+        "(recorded +0.102)"
+    )
+    assert m["locality_iou"] >= 0.5, (
+        f"multi-handle edit turned global: locality {m['locality_iou']:.3f} "
+        "(recorded 0.788)"
+    )
+
+
+def test_fit_invert_drag_flagship_path(gate_engine):
+    """Full real-shape flagship path: fit(mesh) -> invert -> drag on the
+    FITTED latent (reference drag_utils.py:401-471 -> :302-399), asserting
+    reconstruction CD/IoU and post-fit edit effectiveness/locality.
+    Recorded (round 5, tools/bench_quality.py::fit_path_metrics): fit_cd
+    0.0292, fit_iou 0.271, reduction +0.059, locality 0.250; gates at
+    ~half (the fitted latent sits further off-manifold than a prior
+    sample — see the metrics docstring)."""
+    from tools.bench_quality import fit_path_metrics
+
+    engine, npz = gate_engine
+    m = fit_path_metrics(
+        engine, jnp.asarray(npz["latent0"][None]), int(npz["eval_seed"]),
+        float(npz["scale"]), float(npz["cof"]),
+    )
+    assert m["fit_cd"] <= 0.06, f"fit reconstruction CD {m['fit_cd']} too high"
+    assert m["fit_iou"] >= 0.15, f"fit reconstruction IoU {m['fit_iou']} too low"
+    assert m["edited_nonempty"], "post-fit edit produced an empty mesh"
+    assert m["motion_loss_reduction"] >= 0.02, (
+        f"post-fit guidance regressed: {m['motion_loss_reduction']:+.3f} "
+        "(recorded +0.059)"
+    )
+    assert m["locality_iou"] >= 0.1, (
+        f"post-fit edit locality {m['locality_iou']:.3f} (recorded 0.250)"
+    )

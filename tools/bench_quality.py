@@ -134,6 +134,95 @@ def solver_mesh_sweep(engine, n_seeds: int = 3, seed0: int = 100):
     return out
 
 
+def multi_handle_metrics(engine, latent0, eval_seed, scale, cof):
+    """TWO-handle replay-mode drag on the asset latent's inversion — the
+    multi-handle shape of the flagship drag (reference supports K handles,
+    drag_utils.py:302-399; the single-handle gate alone can't catch
+    per-handle masking/broadcast bugs).
+
+    Handles: the max-x and max-z surface extremes, each dragged 0.2 outward
+    along its own axis. Multi-handle guidance on the toy prior needs
+    2x the single-handle scale to register (recorded: reduction +0.102,
+    locality 0.788 at 2x; +0.010 at 1x — measured round 5)."""
+    from tools.make_edit_gate_asset import locality_iou
+
+    engine.latent_inversion(latent0, seed=eval_seed)
+    orig = engine.mesh0
+    v = orig.vertices
+    h1 = v[np.argmax(v[:, 0])].astype(np.float32)
+    h2 = v[np.argmax(v[:, 2])].astype(np.float32)
+    src = np.stack([h1, h2])
+    tgt = np.stack(
+        [h1 + np.array([0.2, 0, 0], np.float32),
+         h2 + np.array([0, 0, 0.2], np.float32)]
+    )
+    engine.drag_edit(
+        src, tgt, scale=0.0, cof=0.0, seed=eval_seed, chunk=4,
+        noise_mode="replay",
+    )
+    motion0 = float(engine.last_drag_losses["motion"][-1])
+    edited = engine.drag_edit(
+        src, tgt, scale=2 * scale, cof=cof, seed=eval_seed, chunk=4,
+        noise_mode="replay",
+    )
+    motion = float(engine.last_drag_losses["motion"][-1])
+    return {
+        "handles": 2,
+        "scale": 2 * scale,
+        "motion_loss_reduction": round(1.0 - motion / motion0, 4),
+        "locality_iou": round(locality_iou(orig, edited, src, tgt), 4),
+        "edited_nonempty": bool(len(edited.triangles) > 0),
+    }
+
+
+def fit_path_metrics(engine, latent0, eval_seed, scale, cof):
+    """End-to-end flagship fit path: fit(mesh) -> invert -> drag, the full
+    product shape of the reference's real-shape workflow
+    (drag_utils.py:401-471 fit -> :302-399 drag).
+
+    Starts from the asset's decoded mesh, runs the classifier-guided fit +
+    follow-up inversion through ``engine.fit_real_shape``, then a
+    single-handle replay-mode drag ON THE FITTED latent. Reports
+    reconstruction fidelity (CD/IoU vs the input mesh) and guidance
+    effectiveness/locality for the post-fit edit. Toy-instance recorded
+    values (round 5): fit_cd 0.0292, fit_iou 0.271, reduction +0.059,
+    locality 0.250 — the fitted latent sits further off-manifold than a
+    prior sample, so both fidelity and edit locality are materially weaker
+    than the latent0 gate; gates sit at ~half these values."""
+    import tempfile
+
+    from ishapediting_tpu.geometry.metrics import chamfer_distance, iou
+    from tools.make_edit_gate_asset import locality_iou
+
+    original = engine.get_mesh(latent0)
+    with tempfile.TemporaryDirectory() as td:
+        engine.fit_real_shape(
+            mesh=original, center_mesh=False, path=td, seed=eval_seed
+        )
+    recon = engine.mesh0
+    v = recon.vertices
+    h1 = v[np.argmax(v[:, 0])].astype(np.float32)
+    src = h1[None]
+    tgt = (h1 + np.array([0.2, 0, 0], np.float32))[None]
+    engine.drag_edit(
+        src, tgt, scale=0.0, cof=0.0, seed=eval_seed, chunk=4,
+        noise_mode="replay",
+    )
+    motion0 = float(engine.last_drag_losses["motion"][-1])
+    edited = engine.drag_edit(
+        src, tgt, scale=scale, cof=cof, seed=eval_seed, chunk=4,
+        noise_mode="replay",
+    )
+    motion = float(engine.last_drag_losses["motion"][-1])
+    return {
+        "fit_cd": round(chamfer_distance(original, recon, 30_000), 6),
+        "fit_iou": round(iou(original, recon, 30_000), 4),
+        "motion_loss_reduction": round(1.0 - motion / motion0, 4),
+        "locality_iou": round(locality_iou(recon, edited, src, tgt), 4),
+        "edited_nonempty": bool(len(edited.triangles) > 0),
+    }
+
+
 def main():
     import jax
 
@@ -221,6 +310,8 @@ def main():
         "dpm_half_rms": round(rms(e_dpm), 6),
         "mesh": solver_mesh_sweep(engine),
     }
+    multi = multi_handle_metrics(engine, latent0, eval_seed, scale, cof)
+    fitp = fit_path_metrics(engine, latent0, eval_seed, scale, cof)
 
     print(
         json.dumps(
@@ -245,6 +336,8 @@ def main():
                     4,
                 ),
                 "solver": solver,
+                "multi_handle": multi,
+                "fit_path": fitp,
             }
         )
     )

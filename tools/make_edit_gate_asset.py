@@ -171,13 +171,18 @@ def build_toy_system(seed: int, ddpm_steps: int, decoder_steps: int):
 
 def locality_iou(original, edited, handle, target, ball_r=0.25, n_pts=20_000):
     """Occupancy IoU on points outside the handle/target balls — measures
-    whether the edit stayed local."""
+    whether the edit stayed local. ``handle``/``target`` may be single
+    points [3] or stacks [K, 3] (multi-handle edits exclude every ball)."""
     from ishapediting_tpu.geometry.occupancy import points_occupancy
 
     rng = np.random.default_rng(0)
     pts = (rng.random((n_pts, 3)) * 2 - 1).astype(np.float32)
-    keep = (np.linalg.norm(pts - handle, axis=1) > ball_r) & (
-        np.linalg.norm(pts - target, axis=1) > ball_r
+    balls = np.concatenate(
+        [np.atleast_2d(handle), np.atleast_2d(target)], axis=0
+    )
+    keep = np.all(
+        np.linalg.norm(pts[:, None, :] - balls[None, :, :], axis=2) > ball_r,
+        axis=1,
     )
     pts = pts[keep]
     occ_a = points_occupancy(original, pts) > 0.5
