@@ -767,41 +767,50 @@ def main():
     from ishapediting_tpu.core.diffusion import dpm_solver_sample_loop
 
     try:
-        dpm_steps = 25
         # log-SNR-uniform grid (schedule.py::lambda_uniform_timesteps):
         # measured a further 1.4x more accurate for the solver than the
-        # ddim grid at 25 steps on the toy checkpoint (docs/PERF.md)
-        sched_dpm = make_schedule(1000, "linear", f"dpm{dpm_steps}")
+        # ddim grid at 25 steps on the toy checkpoint (docs/PERF.md).
+        # 16 steps also holds mesh parity (quality.solver.mesh: cd 1.7e-05
+        # vs ddim50 4.5e-05) — measure it too so the fewer-step claim is
+        # a chip measurement, not a 25/16 extrapolation.
+        for dpm_steps in (25, 16):
+            sched_dpm = make_schedule(1000, "linear", f"dpm{dpm_steps}")
 
-        def loop_dpm(params, x):
-            model_fn = lambda a, b: unet_apply(cfg, params, a, b)
-            return dpm_solver_sample_loop(sched_dpm, model_fn, x)
+            def loop_dpm(params, x, s=sched_dpm):
+                model_fn = lambda a, b: unet_apply(cfg, params, a, b)
+                return dpm_solver_sample_loop(s, model_fn, x)
 
-        fn_dpm = jax.jit(loop_dpm)
-        t0 = time.perf_counter()
-        out_dpm = fn_dpm(params, x_T)
-        float(np.asarray(jnp.sum(out_dpm)))
-        dpm_compile_s = time.perf_counter() - t0
-        dpm_times = []
-        for _ in range(3):
+            fn_dpm = jax.jit(loop_dpm)
             t0 = time.perf_counter()
             out_dpm = fn_dpm(params, x_T)
             float(np.asarray(jnp.sum(out_dpm)))
-            dpm_times.append(time.perf_counter() - t0)
-        assert np.isfinite(np.asarray(out_dpm)).all()
-        detail.update(
-            dpm25_samples_per_sec=round(BATCH / min(dpm_times), 4),
-            dpm25_compile_s=round(dpm_compile_s, 1),
-            # duplicate-snap collapse can realize fewer steps than requested
-            # near the base count (core/schedule.py:lambda_uniform_timesteps)
-            dpm25_realized_steps=int(sched_dpm.num_timesteps),
-            dpm25_note="DPM-Solver++(2M), 25 steps: more accurate than "
-            "DDIM-50 on both measured models (analytic-posterior toy + toy "
-            "checkpoint; order-2 solver, tests/test_dpm_solver.py) — "
-            "samples/s at >= headline quality there",
+            dpm_compile_s = time.perf_counter() - t0
+            dpm_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out_dpm = fn_dpm(params, x_T)
+                float(np.asarray(jnp.sum(out_dpm)))
+                dpm_times.append(time.perf_counter() - t0)
+            assert np.isfinite(np.asarray(out_dpm)).all()
+            k = f"dpm{dpm_steps}"
+            detail.update({
+                f"{k}_samples_per_sec": round(BATCH / min(dpm_times), 4),
+                f"{k}_compile_s": round(dpm_compile_s, 1),
+                # duplicate-snap collapse can realize fewer steps than
+                # requested near the base count
+                # (core/schedule.py:lambda_uniform_timesteps)
+                f"{k}_realized_steps": int(sched_dpm.num_timesteps),
+            })
+        detail["dpm_note"] = (
+            "DPM-Solver++(2M): 25 AND 16 steps both beat DDIM-50 at MESH "
+            "level on the toy checkpoint (CD to the dense-ODE surface "
+            "1.5e-05/1.7e-05 vs 4.5e-05, IoU 0.93/0.92 vs 0.80 — "
+            "quality.solver.mesh, gated by tests/test_solver_quality.py) "
+            "and in latent RMS on both measured models — samples/s at >= "
+            "headline quality there"
         )
     except Exception as exc:  # never cost the headline JSON line
-        detail["dpm25_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        detail["dpm_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # BASELINE.md's other measurable quantities, through the real engine
     # paths (ISHAPE_BENCH_FAST=1 skips for quick sampling-only iteration)

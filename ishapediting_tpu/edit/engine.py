@@ -397,9 +397,16 @@ class DragEngine:
         decode_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         try:
-            k = int(os.environ.get("ISHAPE_FETCH_SLABS", "1"))
+            k = int(os.environ.get("ISHAPE_FETCH_SLABS", "0"))
         except ValueError:
-            k = 1
+            k = 0
+        if k < 1:
+            # unset: default to 4 concurrent slabs on the tunneled runtime
+            # (streams multiplex there — tools/probe_fetch.py); plain 1 on
+            # direct-attached backends where a single memcpy is optimal
+            from ishapediting_tpu.ops.pallas_kernels import axon_runtime
+
+            k = 4 if axon_runtime() else 1
         while k > 1 and res % k:  # largest divisor of res not exceeding k
             k -= 1
         if k > 1:

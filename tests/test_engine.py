@@ -379,3 +379,19 @@ def test_engine_base_sched_carries_rescale_flag():
     # the adapted model path must produce finite output end-to-end
     x0 = eng.update_latent_params(seed=1)
     assert np.isfinite(np.asarray(x0)).all()
+
+
+def test_decode_latent_grid_slab_fetch_identical(engine, monkeypatch):
+    """ISHAPE_FETCH_SLABS>1 (the tunnel's concurrent slab fetch, default 4
+    on the axon runtime since round 5) must return byte-identical grids to
+    the single fetch."""
+    import jax
+
+    latent = jax.random.normal(
+        jax.random.PRNGKey(11), (1,) + engine.config.latent_shape
+    )
+    monkeypatch.setenv("ISHAPE_FETCH_SLABS", "1")
+    single = engine.decode_latent_grid(latent, res=16)
+    monkeypatch.setenv("ISHAPE_FETCH_SLABS", "4")
+    slabbed = engine.decode_latent_grid(latent, res=16)
+    np.testing.assert_array_equal(single, slabbed)

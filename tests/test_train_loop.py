@@ -143,3 +143,81 @@ def test_ddpm_learns_and_redenoises_tiny_dataset(rng):
     dist = np.linalg.norm(redo[0] - data[0])
     norm = np.linalg.norm(data[0])
     assert dist < 0.4 * norm, (dist, norm)
+
+
+@pytest.mark.slow
+def test_train_ema_sample_mesh_beats_random_baseline(rng):
+    """Closes the trainer loop at MESH level: train the product trainer
+    (train.loop.train) on jittered copies of a sphere triplane latent, then
+    EMA-sample from pure noise, decode through the (jointly trained)
+    decoder, extract the mesh, and require it to beat a random-init UNet's
+    sample by CD to the training shape. Proves checkpointable training
+    state produces usable samples end-to-end (reference has no trainer —
+    its fp16_util.py:147-231 scaffolding never closes this loop).
+    Recorded (round 5 probe): EMA CD 0.034-0.085 across seeds vs random
+    0.22-0.29; gates at <0.15 absolute and <0.6x the random baseline."""
+    from ishapediting_tpu.config import UNetConfig
+    from ishapediting_tpu.core.diffusion import ddim_sample_loop
+    from ishapediting_tpu.geometry.marching import grid_to_mesh
+    from ishapediting_tpu.geometry.metrics import chamfer_distance
+    from ishapediting_tpu.models.unet import unet_apply
+    from ishapediting_tpu.ops.triplane import decode_grid
+    from ishapediting_tpu.train.decoder import train_decoder
+
+    pts = rng.uniform(-1, 1, (20000, 3)).astype(np.float32)
+    occ = (np.linalg.norm(pts, axis=1) < 0.55).astype(np.float32)
+    ds = MultiOccupancyDataset([OccupancyDataset(pts, occ)])
+    dec, bank = train_decoder(
+        ds.batches(2048, seed=0), num_objs=1, steps=250,
+        resolution=8, channels=6, lr=3e-3, log_every=10_000,
+    )
+    planes0 = bank[0]
+    ref_mesh = grid_to_mesh(
+        np.asarray(decode_grid(dec, planes0, res=32, compute_dtype=jnp.float32))
+    )
+    assert len(ref_mesh.triangles) > 0, "decoder failed to learn the sphere"
+    latent0 = np.asarray(planes0).transpose(1, 2, 0, 3).reshape(1, 8, 8, 18)
+    scale = float(np.abs(latent0).max())
+    data_norm = latent0 / scale  # keep targets in [-1,1] for clip_denoised
+
+    cfg = UNetConfig(
+        image_size=8, in_channels=18, model_channels=32, out_channels=36,
+        num_res_blocks=1, attention_ds=(4,), channel_mult=(1, 2),
+        num_head_channels=16, dropout=0.0, compute_dtype="float32",
+    )
+    sched = make_schedule(50, "linear", "")
+
+    def batches():
+        while True:
+            yield data_norm.repeat(16, axis=0) + 0.02 * rng.standard_normal(
+                (16, 8, 8, 18)
+            ).astype(np.float32)
+
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    state = train(
+        cfg, sched, params, batches(), total_steps=2500, ckpt_dir=None,
+        log_every=10_000, lr=3e-3, ema_rate=0.995,
+    )
+
+    def sample_cd(p, seed):
+        mf = lambda x, t: unet_apply(cfg, p, x, t)
+        x_T = jax.random.normal(jax.random.PRNGKey(seed), (1, 8, 8, 18))
+        lat = np.asarray(
+            ddim_sample_loop(sched, mf, x_T, jax.random.PRNGKey(seed + 1))
+        )
+        planes = jnp.asarray((lat * scale)[0].reshape(8, 8, 3, 6).transpose(2, 0, 1, 3))
+        g = np.asarray(decode_grid(dec, planes, res=32, compute_dtype=jnp.float32))
+        m = grid_to_mesh(g)
+        if len(m.triangles) == 0:
+            return float("inf")
+        return chamfer_distance(ref_mesh, m, 20_000)
+
+    cd_trained = min(sample_cd(state.ema_params, s) for s in (10, 20))
+    cd_random = min(
+        sample_cd(init_unet_params(jax.random.PRNGKey(42), cfg), s)
+        for s in (10, 20)
+    )
+    assert cd_trained < 0.15, f"trained sample CD {cd_trained} too high"
+    assert cd_trained < 0.6 * cd_random, (
+        f"trained CD {cd_trained} does not beat random baseline {cd_random}"
+    )
