@@ -107,7 +107,7 @@ def main(argv=None):
     while args.batch_size % usable:
         usable -= 1
     mesh = make_mesh(usable)
-    model_fn_p = engine._model_fn_p(feat=False)
+    model_fn_p = engine.model_fn_p(feat=False)
 
     snapshot_steps = None
     if args.save_intermediate:

@@ -178,6 +178,116 @@ class EditServer:
             out["out_dir"] = out_dir
         return out
 
+    def _cmd_generate(self, req, emit):
+        """{"cmd": "generate", "num_samples": 4, "batch_size": 4,
+        "sampler": "dpm", "num_steps": 16, "seed": 0, "out_dir": "gen/",
+        "decode": true, "shape_resolution": 64, "smooth": 0} — batch
+        unconditional generation over the serve protocol (cli.generate
+        parity; reference generate.py:52-98). ``sampler`` selects
+        ddpm|ddim|dpm and ``num_steps`` respaces the engine's base chain
+        per request (dpm uses the log-SNR-uniform grid; the realized count
+        can collapse below the request near the base count). Batches shard
+        over the data mesh; streams {"event": "gen_batch"} per sampled
+        batch and {"event": "gen_mesh"} per decoded mesh; ``out_dir``
+        writes the reference's triplanes/{i}.npy (NCHW, physical scale)
+        + objects/{i}.obj layout."""
+        import time
+
+        import jax
+
+        from ishapediting_tpu.core.schedule import make_schedule
+        from ishapediting_tpu.parallel.mesh import make_mesh
+        from ishapediting_tpu.parallel.sampling import sample_sharded
+
+        eng = self._require_engine()
+        sampler = req.get("sampler", "ddim")
+        if sampler not in ("ddpm", "ddim", "dpm"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        n_total = int(req.get("num_samples", 4))
+        if n_total < 1:
+            raise ValueError("num_samples must be >= 1")
+        bs = max(1, int(req.get("batch_size", min(4, n_total))))
+        dcfg = eng.config.diffusion
+        steps = req.get("num_steps")
+        if steps is None:
+            sched = eng.sched
+        else:
+            n = min(int(steps), dcfg.base_steps)
+            resp = {"ddpm": str(n), "ddim": f"ddim{n}", "dpm": f"dpm{n}"}[
+                sampler
+            ]
+            sched = make_schedule(
+                dcfg.base_steps, dcfg.noise_schedule, resp,
+                rescale_timesteps=dcfg.rescale_timesteps,
+            )
+
+        n_dev = len(jax.devices())
+        usable = max(1, min(n_dev, bs))
+        while bs % usable:
+            usable -= 1
+        dmesh = make_mesh(usable)
+        mfp = eng.model_fn_p(feat=False)
+        t0 = time.perf_counter()
+        samples = []
+        remaining, batch_idx = n_total, 0
+        while remaining > 0:
+            nb = min(bs, remaining)
+            m = dmesh if nb % dmesh.shape["data"] == 0 else make_mesh(1)
+            out = sample_sharded(
+                sched, None, m,
+                batch_size=nb,
+                latent_shape=eng.config.latent_shape,
+                rng=jax.random.PRNGKey(int(req.get("seed", 0)) + batch_idx),
+                sampler=sampler,
+                clip_denoised=dcfg.clip_denoised,
+                model_fn_p=mfp,
+                params=eng.unet_params,
+            )
+            samples.append(np.asarray(out))
+            remaining -= nb
+            batch_idx += 1
+            emit({"event": "gen_batch", "batch": batch_idx,
+                  "done": n_total - remaining, "total": n_total})
+        samples = np.concatenate(samples, axis=0)[:n_total]
+        sample_s = round(time.perf_counter() - t0, 3)
+
+        resp_out = {
+            "num_samples": int(samples.shape[0]),
+            "sampler": sampler,
+            "realized_steps": int(sched.num_timesteps),
+            "sample_s": sample_s,
+        }
+        out_dir = req.get("out_dir")
+        if out_dir:
+            phys = samples * np.asarray(eng.stats.half_range) + np.asarray(
+                eng.stats.middle
+            )
+            os.makedirs(os.path.join(out_dir, "triplanes"), exist_ok=True)
+            for i in range(phys.shape[0]):
+                np.save(
+                    os.path.join(out_dir, "triplanes", f"{i}.npy"),
+                    phys[i].transpose(2, 0, 1).astype(np.float32),
+                )
+            resp_out["out_dir"] = out_dir
+        if bool(req.get("decode", False)):
+            t0 = time.perf_counter()
+            res = req.get("shape_resolution")
+            verts = []
+            for i in range(samples.shape[0]):
+                mesh = eng.get_mesh(
+                    samples[i][None],
+                    smooth=int(req.get("smooth", 0)),
+                    res=None if res is None else int(res),
+                )
+                if out_dir:
+                    os.makedirs(os.path.join(out_dir, "objects"), exist_ok=True)
+                    mesh.write(os.path.join(out_dir, "objects", f"{i}.obj"))
+                verts.append(int(len(mesh.vertices)))
+                emit({"event": "gen_mesh", "index": i, "vertices": verts[-1]})
+            resp_out["decode_s"] = round(time.perf_counter() - t0, 3)
+            resp_out["vertices"] = verts
+        return resp_out
+
     # -- editing -----------------------------------------------------------
 
     def _cmd_drag(self, req, emit):

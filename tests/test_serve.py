@@ -174,3 +174,35 @@ def test_morph_command(server, tmp_path):
          "seed_b": 2, "frames": 2}
     )
     assert r["ok"] and r["frames"] == 2
+
+
+def test_generate_command(server, tmp_path):
+    """Batch generation over the serve protocol (cli.generate parity):
+    per-request sampler/step respacing, streamed events, reference output
+    layout."""
+    events = []
+    out = str(tmp_path / "gen")
+    r = server.handle(
+        {"cmd": "generate", "num_samples": 3, "batch_size": 2,
+         "sampler": "dpm", "num_steps": 6, "seed": 1, "out_dir": out,
+         "decode": True, "shape_resolution": 24, "smooth": 0},
+        emit=events.append,
+    )
+    assert r["ok"], r
+    assert r["num_samples"] == 3 and r["sampler"] == "dpm"
+    assert 2 <= r["realized_steps"] <= 6
+    assert len(r["vertices"]) == 3
+    import os
+    tri = sorted(os.listdir(os.path.join(out, "triplanes")))
+    assert tri == ["0.npy", "1.npy", "2.npy"]
+    a = np.load(os.path.join(out, "triplanes", "0.npy"))
+    cfg = server.engine.config
+    assert a.shape == (cfg.latent_shape[2], cfg.latent_shape[0], cfg.latent_shape[1])
+    objs = sorted(os.listdir(os.path.join(out, "objects")))
+    assert objs == ["0.obj", "1.obj", "2.obj"]
+    assert sum(1 for e in events if e.get("event") == "gen_batch") == 2
+    assert sum(1 for e in events if e.get("event") == "gen_mesh") == 3
+
+    # bad sampler is a protocol error, not a crash
+    r = server.handle({"cmd": "generate", "sampler": "magic"})
+    assert r["ok"] is False and "sampler" in r["error"]
