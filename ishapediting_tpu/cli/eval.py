@@ -55,6 +55,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--local_metric", type=str, default="IoU",
                    choices=["IoU", "L2"])
     p.add_argument("--out", type=str, default=None, help="write report JSON here")
+    # -- solver sweep mode (core/solver_eval.py) ---------------------------
+    p.add_argument("--solver_sweep", action="store_true",
+                   help="ignore mesh pairs; instead sample a model with "
+                        "ddpm/ddimN/dpmN at --budgets and report per-solver "
+                        "mesh Chamfer/IoU against the dense-chain DDIM "
+                        "solution (the bench's fewer-step quality "
+                        "methodology, runnable on real checkpoints)")
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="category dir for --solver_sweep")
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights for --solver_sweep (smoke only)")
+    p.add_argument("--preset", type=str, default="chairs")
+    p.add_argument("--budgets", type=int, nargs="+", default=[50, 25, 16, 12])
+    p.add_argument("--sweep_seeds", type=int, default=3,
+                   help="non-empty reference draws to evaluate")
+    p.add_argument("--max_attempts", type=int, default=None,
+                   help="total prior draws before giving up (default 8x seeds)")
     return p
 
 
@@ -138,6 +155,33 @@ def main(argv=None):
 
     honor_env_platform()  # make JAX_PLATFORMS=cpu actually mean CPU
     args = build_parser().parse_args(argv)
+    if args.solver_sweep:
+        from ishapediting_tpu.config import preset
+        from ishapediting_tpu.core.solver_eval import solver_mesh_sweep
+        from ishapediting_tpu.edit.engine import DragEngine
+
+        if args.model_dir:
+            engine = DragEngine.from_model_dir(args.model_dir)
+        elif args.random_init:
+            engine = DragEngine(preset(args.preset), seed=args.seed)
+        else:
+            raise SystemExit("--solver_sweep needs --model_dir or --random_init")
+        report = solver_mesh_sweep(
+            engine,
+            n_seeds=args.sweep_seeds,
+            seed0=100 + args.seed,
+            budgets=tuple(args.budgets),
+            max_attempts=args.max_attempts,
+            point_num=args.point_num,
+        )
+        print(json.dumps(report))
+        if args.out:
+            os.makedirs(
+                os.path.dirname(os.path.abspath(args.out)), exist_ok=True
+            )
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+        return report
     handles = _handles(args)
     if "local" in args.metrics and handles is None:
         raise SystemExit("'local' metric needs --edit_log")

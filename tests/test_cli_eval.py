@@ -75,3 +75,21 @@ def test_eval_local_from_edit_log(tmp_path):
          "--local_r", "0.15", "--point_num", "4000"]
     )
     assert 0.0 < summary["local_iou"] <= 1.0
+
+
+def test_solver_sweep_mode(tmp_path):
+    """--solver_sweep runs the bench's solver-quality methodology on an
+    arbitrary engine (here random tiny) and writes the JSON report."""
+    import json
+
+    from ishapediting_tpu.cli.eval import main
+
+    report = main([
+        "--solver_sweep", "--random_init", "--preset", "tiny",
+        "--budgets", "10", "5", "--sweep_seeds", "1", "--max_attempts", "2",
+        "--point_num", "2000", "--out", str(tmp_path / "sweep.json"),
+    ])
+    assert report["ref"] == "ddim100-dense"
+    assert "dpm10" in report and "ddim10" in report and "ddpm100" in report
+    on_disk = json.load(open(tmp_path / "sweep.json"))
+    assert on_disk == report
