@@ -11,6 +11,7 @@ Use ``--preset tiny --synthetic N`` for a smoke run without assets.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -32,6 +33,13 @@ def build_parser():
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--ema_rate", type=float, default=0.9999)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--export_model_dir", type=str, default=None,
+                   help="after training, write a serveable category dir "
+                        "(unet.orbax EMA + decoder.orbax + statistics) that "
+                        "DragEngine.from_model_dir loads directly")
+    p.add_argument("--decoder_from", type=str, default=None,
+                   help="decoder for --export_model_dir: an orbax dir or a "
+                        "torch .pt")
     return p
 
 
@@ -102,6 +110,62 @@ def main(argv=None):
         seed=args.seed,
     )
     print(f"done at step {int(state.step)}; checkpoints in {args.ckpt_dir}")
+
+    if args.export_model_dir:
+        export_model_dir(
+            args.export_model_dir,
+            state.ema_params,
+            decoder_from=args.decoder_from,
+            stats_dir=args.stats,
+            channels=channels,
+        )
+        print(f"exported serveable model dir: {args.export_model_dir}")
+
+
+def export_model_dir(
+    out_dir: str,
+    ema_params,
+    decoder_from=None,
+    stats_dir=None,
+    channels: int = 96,
+) -> None:
+    """Write a serveable category directory from trained params: the
+    native-checkpoint counterpart of the reference's asset layout
+    (drag_utils.py:213-228) — ``unet.orbax`` (EMA weights),
+    ``decoder.orbax`` (from ``decoder_from``: an orbax dir or a torch
+    ``.pt``), and ``statistics/`` (copied from ``stats_dir``, or explicit
+    identity bounds when absent). ``DragEngine.from_model_dir`` loads the
+    result directly — train -> serve round-trips with no torch involved."""
+    import shutil
+
+    from ishapediting_tpu.io.checkpoint import load_params, save_params
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_params(os.path.join(out_dir, "unet.orbax"), ema_params)
+    if decoder_from:
+        if os.path.isdir(decoder_from):
+            dec = load_params(decoder_from)
+        else:
+            from ishapediting_tpu.io.torch_convert import load_torch_decoder
+
+            dec = load_torch_decoder(decoder_from)
+        save_params(os.path.join(out_dir, "decoder.orbax"), dec)
+    stats_out = os.path.join(out_dir, "statistics")
+    if stats_dir:
+        name = os.path.basename(os.path.normpath(stats_dir))
+        dst = os.path.join(stats_out, name)
+        if not os.path.exists(dst):
+            shutil.copytree(stats_dir, dst)
+    else:
+        # explicit identity bounds so the exported dir loads without
+        # allow_identity_stats (the normalization really is identity for a
+        # model trained on already-normalized latents)
+        ident = os.path.join(stats_out, "identity")
+        os.makedirs(ident, exist_ok=True)
+        np.save(os.path.join(ident, "lower_bound.npy"),
+                np.full(channels, -1.0, np.float32))
+        np.save(os.path.join(ident, "upper_bound.npy"),
+                np.full(channels, 1.0, np.float32))
 
 
 if __name__ == "__main__":

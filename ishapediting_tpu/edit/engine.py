@@ -210,19 +210,39 @@ class DragEngine:
         A missing ``statistics/`` directory is an error — identity
         normalization on a real checkpoint decodes garbage meshes, and the
         reference fails loudly there too (drag_utils.py:236-238). Pass
-        ``allow_identity_stats=True`` to proceed anyway (warns)."""
+        ``allow_identity_stats=True`` to proceed anyway (warns).
+
+        Native ``unet.orbax``/``decoder.orbax`` directories (written by
+        ``io.checkpoint.convert_model_dir`` or ``cli.train
+        --export_model_dir``) are preferred over the torch ``.pt``
+        checkpoints when both are present — no torch needed to serve a
+        natively-trained model."""
         from ishapediting_tpu.io.torch_convert import (
             load_torch_checkpoint,
             load_torch_decoder,
         )
 
         info = discover_model_dir(main_path)
-        if info.unet_ckpt is None or info.decoder_ckpt is None:
+        if info.unet_orbax:
+            from ishapediting_tpu.io.checkpoint import load_params
+
+            unet_params = load_params(info.unet_orbax)
+        elif info.unet_ckpt:
+            unet_params = load_torch_checkpoint(info.unet_ckpt)
+        else:
             raise FileNotFoundError(
-                f"no ddpm*/ema* checkpoint or decoder .pt under {main_path}"
+                f"no ddpm*/ema* checkpoint or unet.orbax under {main_path}"
             )
-        unet_params = load_torch_checkpoint(info.unet_ckpt)
-        decoder_params = load_torch_decoder(info.decoder_ckpt)
+        if info.decoder_orbax:
+            from ishapediting_tpu.io.checkpoint import load_params
+
+            decoder_params = load_params(info.decoder_orbax)
+        elif info.decoder_ckpt:
+            decoder_params = load_torch_decoder(info.decoder_ckpt)
+        else:
+            raise FileNotFoundError(
+                f"no decoder .pt or decoder.orbax under {main_path}"
+            )
         if info.stats_dir:
             stats = load_stats(info.stats_dir)
         elif allow_identity_stats:

@@ -221,3 +221,35 @@ def test_train_ema_sample_mesh_beats_random_baseline(rng):
     assert cd_trained < 0.6 * cd_random, (
         f"trained CD {cd_trained} does not beat random baseline {cd_random}"
     )
+
+
+def test_train_export_then_serve_roundtrip(tmp_path):
+    """cli.train --export_model_dir writes a serveable category dir
+    (unet.orbax EMA + decoder.orbax + explicit identity statistics) and
+    DragEngine.from_model_dir loads it with NO torch checkpoints involved —
+    the native train -> serve contract (the torch-layout counterpart:
+    reference drag_utils.py:213-228)."""
+    from ishapediting_tpu.cli.train import main as train_main
+    from ishapediting_tpu.config import preset
+    from ishapediting_tpu.edit.engine import DragEngine
+    from ishapediting_tpu.io.checkpoint import save_params
+    from ishapediting_tpu.ops.triplane import init_decoder_params
+
+    dec = init_decoder_params(jax.random.PRNGKey(5), in_channels=2)
+    save_params(str(tmp_path / "dec.orbax"), dec)
+    model_dir = str(tmp_path / "model")
+    train_main([
+        "--preset", "tiny", "--synthetic", "4", "--steps", "4",
+        "--batch_size", "2", "--ckpt_dir", str(tmp_path / "ckpts"),
+        "--export_model_dir", model_dir,
+        "--decoder_from", str(tmp_path / "dec.orbax"),
+    ])
+    assert os.path.isdir(os.path.join(model_dir, "unet.orbax"))
+    assert os.path.isdir(os.path.join(model_dir, "decoder.orbax"))
+    assert os.path.exists(
+        os.path.join(model_dir, "statistics", "identity", "lower_bound.npy")
+    )
+    engine = DragEngine.from_model_dir(model_dir, config=preset("tiny"))
+    engine.update_latent_params(seed=0)
+    assert engine.w is not None, "loaded engine failed to sample"
+    assert np.isfinite(np.asarray(engine.w)).all()
