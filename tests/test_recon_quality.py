@@ -84,3 +84,45 @@ def test_noisy_cloud_still_reconstructs():
     recon = point_cloud_to_mesh(pts, normals, resolution=96, smooth_iterations=5)
     cd = chamfer_distance(torus_mesh(), recon, 20_000)
     assert cd < 0.03, f"noisy torus chamfer {cd:.4f}"
+
+
+def test_poisson_torus_reconstruction_quality():
+    """The FFT Poisson estimator must clear the same torus gate as the kNN
+    path (the reference's method family — Open3D screened Poisson,
+    meshProcess.py:139)."""
+    pts, normals = torus_cloud(30_000)
+    recon = point_cloud_to_mesh(
+        pts, normals, resolution=96, smooth_iterations=3, method="poisson"
+    )
+    ref = torus_mesh()
+    assert len(recon.vertices) > 1000
+    cd = chamfer_distance(ref, recon, 20_000)
+    hd = hausdorff_distance(ref, recon, 20_000)
+    assert cd < 0.02, f"poisson torus chamfer {cd:.4f}"
+    assert hd < 0.12, f"poisson torus hausdorff {hd:.4f}"
+    counts = edge_face_counts(recon)
+    assert (counts == 2).mean() > 0.99
+
+
+def test_poisson_fills_partial_cloud():
+    """The global solve's payoff: a sphere cloud with a whole cap REMOVED
+    (z > 0.7R missing) must still reconstruct a closed surface near the
+    true sphere — the local kNN estimator cannot see across the hole, the
+    Poisson field propagates through it."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((40_000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    keep = v[:, 2] < 0.7
+    pts, normals = 0.6 * v[keep], v[keep]
+
+    recon = point_cloud_to_mesh(
+        pts, normals, resolution=96, smooth_iterations=3, method="poisson"
+    )
+    assert len(recon.triangles) > 1000
+    x = np.linspace(-1, 1, 96)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    ref = grid_to_mesh((0.6 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
+    cd = chamfer_distance(ref, recon, 20_000)
+    assert cd < 0.03, f"partial-cloud chamfer {cd:.4f} — hole not filled"
+    counts = edge_face_counts(recon)
+    assert (counts == 2).mean() > 0.99, "reconstruction left boundary edges"
