@@ -7,3 +7,8 @@ from ishapediting_tpu.geometry.metrics import (  # noqa: F401
     iou,
     local_distance,
 )
+from ishapediting_tpu.geometry.recon import (  # noqa: F401
+    estimate_normals,
+    point_cloud_to_mesh,
+    poisson_reconstruct,
+)

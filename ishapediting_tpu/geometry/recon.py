@@ -31,6 +31,49 @@ from ishapediting_tpu.geometry.marching import grid_to_mesh
 from ishapediting_tpu.geometry.mesh import TriMesh
 
 
+def estimate_normals(points: np.ndarray, k: int = 16) -> np.ndarray:
+    """Estimate consistently-oriented normals for a raw point cloud
+    (Hoppe et al. 1992 — the method family behind Open3D's
+    ``estimate_normals`` + ``orient_normals_consistent_tangent_plane``,
+    which the reference relies on for clouds that ship without normals).
+
+    Per-point PCA over the k nearest neighbors gives the unoriented normal
+    (smallest-eigenvalue eigenvector); a minimum spanning tree over the
+    kNN graph weighted by ``1 - |n_i . n_j|`` propagates a consistent
+    orientation from the max-z point (seeded outward: positive z)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import breadth_first_order, minimum_spanning_tree
+
+    points = np.asarray(points, np.float64)
+    m = len(points)
+    k = min(k, m - 1)
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=k + 1, workers=-1)  # includes self
+    nbrs = points[idx]  # [M, k+1, 3]
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = np.einsum("mki,mkj->mij", centered, centered)
+    # eigh returns ascending eigenvalues: column 0 = smallest = normal
+    _, vecs = np.linalg.eigh(cov)
+    normals = vecs[:, :, 0]
+
+    # orientation propagation over the kNN graph's MST
+    rows = np.repeat(np.arange(m), k)
+    cols = idx[:, 1:].reshape(-1)
+    w = 1.0 - np.abs(np.einsum("ej,ej->e", normals[rows], normals[cols]))
+    graph = coo_matrix((w + 1e-9, (rows, cols)), shape=(m, m))
+    mst = minimum_spanning_tree(graph)
+    sym = mst + mst.T
+    seed = int(np.argmax(points[:, 2]))
+    if normals[seed, 2] < 0:
+        normals[seed] = -normals[seed]
+    order, parents = breadth_first_order(sym, seed, directed=False)
+    for node in order[1:]:
+        parent = parents[node]
+        if np.dot(normals[node], normals[parent]) < 0:
+            normals[node] = -normals[node]
+    return normals
+
+
 def poisson_reconstruct(
     points: np.ndarray,
     normals: np.ndarray,
@@ -100,22 +143,25 @@ def poisson_reconstruct(
 
 def point_cloud_to_mesh(
     points: np.ndarray,
-    normals: np.ndarray,
+    normals: Optional[np.ndarray] = None,
     resolution: int = 128,
     k: int = 8,
     trunc: float = 0.1,
     smooth_iterations: int = 10,
     method: str = "knn",
 ) -> TriMesh:
-    """Reconstruct a surface from an oriented point cloud.
+    """Reconstruct a surface from a point cloud.
 
     :param points: [N, 3] positions (any scale; grid spans their bbox + 5%).
-    :param normals: [N, 3] outward normals.
+    :param normals: [N, 3] outward normals, or None to estimate them from
+        the cloud (``estimate_normals``: kNN-PCA + MST orientation).
     :param method: "knn" (local signed field, the original default) or
         "poisson" (global FFT solve — better hole-filling on sparse/partial
         clouds, 15-25x faster; see module docstring).
     :returns: TriMesh in the same coordinate frame as ``points``.
     """
+    if normals is None:
+        normals = estimate_normals(points)
     if method == "poisson":
         return poisson_reconstruct(
             points, normals, resolution=resolution,

@@ -126,3 +126,25 @@ def test_poisson_fills_partial_cloud():
     assert cd < 0.03, f"partial-cloud chamfer {cd:.4f} — hole not filled"
     counts = edge_face_counts(recon)
     assert (counts == 2).mean() > 0.99, "reconstruction left boundary edges"
+
+
+def test_estimate_normals_and_reconstruct_unoriented():
+    """Raw cloud (NO normals): kNN-PCA + MST orientation must recover
+    outward normals well enough that the Poisson reconstruction clears the
+    same torus gate (Hoppe-1992 pipeline; reference relies on Open3D's
+    estimate_normals for such clouds)."""
+    from ishapediting_tpu.geometry.recon import estimate_normals
+
+    pts, true_normals = torus_cloud(8_000)
+    est = estimate_normals(pts, k=16)
+    agree = np.einsum("ij,ij->i", est, true_normals)
+    # consistently OUTWARD (not just consistent up to a global flip)
+    assert np.mean(agree > 0) > 0.97, f"orientation agreement {np.mean(agree > 0):.3f}"
+    assert np.mean(np.abs(agree)) > 0.95, "PCA normals inaccurate"
+
+    recon = point_cloud_to_mesh(
+        pts, None, resolution=96, smooth_iterations=3, method="poisson"
+    )
+    ref = torus_mesh()
+    cd = chamfer_distance(ref, recon, 20_000)
+    assert cd < 0.025, f"unoriented-cloud chamfer {cd:.4f}"
