@@ -66,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="category dir for --solver_sweep")
     p.add_argument("--random_init", action="store_true",
                    help="random weights for --solver_sweep (smoke only)")
-    p.add_argument("--preset", type=str, default="chairs")
+    p.add_argument("--preset", type=str, default=None,
+                   help="pipeline config for --solver_sweep (chairs|cars|"
+                        "planes|tiny); with --model_dir it overrides the "
+                        "default chairs config, required for --random_init "
+                        "(defaults to chairs)")
     p.add_argument("--budgets", type=int, nargs="+", default=[50, 25, 16, 12])
     p.add_argument("--sweep_seeds", type=int, default=3,
                    help="non-empty reference draws to evaluate")
@@ -161,9 +165,12 @@ def main(argv=None):
         from ishapediting_tpu.edit.engine import DragEngine
 
         if args.model_dir:
-            engine = DragEngine.from_model_dir(args.model_dir)
+            engine = DragEngine.from_model_dir(
+                args.model_dir,
+                config=preset(args.preset) if args.preset else None,
+            )
         elif args.random_init:
-            engine = DragEngine(preset(args.preset), seed=args.seed)
+            engine = DragEngine(preset(args.preset or "chairs"), seed=args.seed)
         else:
             raise SystemExit("--solver_sweep needs --model_dir or --random_init")
         report = solver_mesh_sweep(

@@ -69,8 +69,7 @@ def main(argv=None):
 
     from ishapediting_tpu.config import preset
     from ishapediting_tpu.edit.engine import DragEngine
-    from ishapediting_tpu.parallel.mesh import make_mesh
-    from ishapediting_tpu.parallel.sampling import sample_sharded
+    from ishapediting_tpu.parallel.sampling import plan_data_mesh, sample_batches
 
     config = preset(args.preset, args.num_steps, use_ddim=args.use_ddim)
     if args.use_dpm:
@@ -102,11 +101,7 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     os.makedirs(f"{args.save_dir}/triplanes", exist_ok=True)
 
-    n_dev = len(jax.devices())
-    usable = max(1, min(n_dev, args.batch_size))
-    while args.batch_size % usable:
-        usable -= 1
-    mesh = make_mesh(usable)
+    mesh, usable = plan_data_mesh(args.batch_size)
     model_fn_p = engine.model_fn_p(feat=False)
 
     snapshot_steps = None
@@ -114,33 +109,31 @@ def main(argv=None):
         snapshot_steps = tuple(
             int(s) for s in args.save_intermediate.split(",") if s != ""
         )
-
-    t1 = time.time()
-    samples = []
-    snapshots = []  # per batch: [K, n, H, W, C]
-    _snap_cache = {}  # batch size -> jitted snapshot loop (no per-batch retrace)
-    remaining = args.num_samples
-    batch_idx = 0
-    while remaining > 0:
-        n = min(args.batch_size, remaining) if remaining >= usable else remaining
-        n = max(n - n % usable, usable) if n >= usable else n
-        m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
-        if snapshot_steps is not None and args.use_dpm:
+        if args.use_dpm:
             raise SystemExit(
                 "--save_intermediate is not supported with --use_dpm "
                 "(snapshot loop covers ddpm/ddim only)"
             )
-        if snapshot_steps is not None:
-            # snapshot path: single-device jitted loop with the scan-carried
-            # [K, B, ...] snapshot buffer (core/diffusion.py). rng derivation
-            # MIRRORS parallel/sampling.py::sample_sharded (x_T from the
-            # batch key, loop rng from fold_in(key, 1)) so adding
-            # --save_intermediate dumps intermediates of the SAME samples a
-            # plain run produces.
-            from functools import partial as _partial
 
-            from ishapediting_tpu.core.diffusion import p_sample_loop_snapshots
+    t1 = time.time()
+    snapshots = []  # per batch: [K, n, H, W, C]
+    if snapshot_steps is not None:
+        # snapshot path: single-device jitted loop with the scan-carried
+        # [K, B, ...] snapshot buffer (core/diffusion.py). rng derivation
+        # MIRRORS parallel/sampling.py (x_T from the batch key, loop rng
+        # from fold_in(key, 1)) so adding --save_intermediate dumps
+        # intermediates of the SAME samples a plain run produces.
+        from functools import partial as _partial
 
+        from ishapediting_tpu.core.diffusion import p_sample_loop_snapshots
+
+        samples = []
+        _snap_cache = {}  # batch size -> jitted loop (no per-batch retrace)
+        remaining = args.num_samples
+        batch_idx = 0
+        while remaining > 0:
+            n = min(args.batch_size, remaining) if remaining >= usable else remaining
+            n = max(n - n % usable, usable) if n >= usable else n
             fn = _snap_cache.get(n)
             if fn is None:
                 fn = jax.jit(
@@ -162,26 +155,26 @@ def main(argv=None):
             out_d = fn(
                 engine.unet_params, x_T, jax.random.fold_in(batch_key, 1)
             )
-            out = out_d["sample"]
+            samples.append(np.asarray(out_d["sample"]))
             snapshots.append(np.asarray(out_d["snapshots"]))
-        else:
-            out = sample_sharded(
-                engine.sched,
-                None,
-                m,
-                batch_size=n,
-                latent_shape=config.latent_shape,
-                rng=jax.random.PRNGKey(args.seed + batch_idx),
-                sampler="dpm" if args.use_dpm else
-                ("ddim" if args.use_ddim else "ddpm"),
-                clip_denoised=config.diffusion.clip_denoised,
-                model_fn_p=model_fn_p,
-                params=engine.unet_params,
-            )
-        samples.append(np.asarray(out))
-        remaining -= n
-        batch_idx += 1
-    samples = np.concatenate(samples, axis=0)[: args.num_samples]
+            remaining -= n
+            batch_idx += 1
+        samples = np.concatenate(samples, axis=0)[: args.num_samples]
+    else:
+        samples = sample_batches(
+            engine.sched,
+            engine.unet_params,
+            model_fn_p,
+            num_samples=args.num_samples,
+            batch_size=args.batch_size,
+            latent_shape=config.latent_shape,
+            seed=args.seed,
+            sampler="dpm" if args.use_dpm else
+            ("ddim" if args.use_ddim else "ddpm"),
+            clip_denoised=config.diffusion.clip_denoised,
+            mesh=mesh,
+            usable=usable,
+        )
     t2 = time.time()
     print("ddpm time:", round(t2 - t1, 4))
 

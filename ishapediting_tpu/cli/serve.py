@@ -193,11 +193,8 @@ class EditServer:
         + objects/{i}.obj layout."""
         import time
 
-        import jax
-
         from ishapediting_tpu.core.schedule import make_schedule
-        from ishapediting_tpu.parallel.mesh import make_mesh
-        from ishapediting_tpu.parallel.sampling import sample_sharded
+        from ishapediting_tpu.parallel.sampling import sample_batches
 
         eng = self._require_engine()
         sampler = req.get("sampler", "ddim")
@@ -209,6 +206,11 @@ class EditServer:
         bs = max(1, int(req.get("batch_size", min(4, n_total))))
         dcfg = eng.config.diffusion
         steps = req.get("num_steps")
+        if steps is None and sampler == "dpm":
+            # the dpm quality claims are measured on the log-SNR grid; the
+            # engine's own respacing is a uniform-stride grid — default to
+            # the engine's step count ON the dpm grid rather than reusing it
+            steps = eng.sched.num_timesteps
         if steps is None:
             sched = eng.sched
         else:
@@ -221,34 +223,22 @@ class EditServer:
                 rescale_timesteps=dcfg.rescale_timesteps,
             )
 
-        n_dev = len(jax.devices())
-        usable = max(1, min(n_dev, bs))
-        while bs % usable:
-            usable -= 1
-        dmesh = make_mesh(usable)
-        mfp = eng.model_fn_p(feat=False)
         t0 = time.perf_counter()
-        samples = []
-        remaining, batch_idx = n_total, 0
-        while remaining > 0:
-            nb = min(bs, remaining)
-            m = dmesh if nb % dmesh.shape["data"] == 0 else make_mesh(1)
-            out = sample_sharded(
-                sched, None, m,
-                batch_size=nb,
-                latent_shape=eng.config.latent_shape,
-                rng=jax.random.PRNGKey(int(req.get("seed", 0)) + batch_idx),
-                sampler=sampler,
-                clip_denoised=dcfg.clip_denoised,
-                model_fn_p=mfp,
-                params=eng.unet_params,
-            )
-            samples.append(np.asarray(out))
-            remaining -= nb
-            batch_idx += 1
-            emit({"event": "gen_batch", "batch": batch_idx,
-                  "done": n_total - remaining, "total": n_total})
-        samples = np.concatenate(samples, axis=0)[:n_total]
+        samples = sample_batches(
+            sched,
+            eng.unet_params,
+            eng.model_fn_p(feat=False),
+            num_samples=n_total,
+            batch_size=bs,
+            latent_shape=eng.config.latent_shape,
+            seed=int(req.get("seed", 0)),
+            sampler=sampler,
+            clip_denoised=dcfg.clip_denoised,
+            on_batch=lambda batch_idx, done: emit(
+                {"event": "gen_batch", "batch": batch_idx, "done": done,
+                 "total": n_total}
+            ),
+        )
         sample_s = round(time.perf_counter() - t0, 3)
 
         resp_out = {

@@ -150,6 +150,12 @@ def export_model_dir(
 
             dec = load_torch_decoder(decoder_from)
         save_params(os.path.join(out_dir, "decoder.orbax"), dec)
+    else:
+        print(
+            f"WARNING: no --decoder_from; {out_dir} has no decoder and "
+            "DragEngine.from_model_dir will refuse to load it until a "
+            "decoder.orbax (or decoder .pt) is added"
+        )
     stats_out = os.path.join(out_dir, "statistics")
     if stats_dir:
         name = os.path.basename(os.path.normpath(stats_dir))

@@ -51,39 +51,53 @@ def solver_mesh_sweep(
     )
     from ishapediting_tpu.core.schedule import make_schedule
     from ishapediting_tpu.geometry.metrics import chamfer_distance, iou
-    from ishapediting_tpu.models.unet import unet_apply
 
     cfg = engine.config
     base = cfg.diffusion.base_steps
     noise_sched = cfg.diffusion.noise_schedule
-    mf = lambda p, x, t: unet_apply(cfg.unet, p, x, t)
+    clip = cfg.diffusion.clip_denoised
+    # the engine's public model closure, NOT a raw unet_apply: it carries
+    # the x0-prediction adapter (checkpoints with predict_xstart) so the
+    # sweep samples exactly what the product samples
+    mf = engine.model_fn_p(feat=False)
 
     def _sched(respacing):
-        return make_schedule(base, noise_sched, respacing)
+        return make_schedule(
+            base, noise_sched, respacing,
+            rescale_timesteps=cfg.diffusion.rescale_timesteps,
+        )
 
     dense = _sched("")
     ref_fn = jax.jit(
-        lambda p, x, r: ddim_sample_loop(dense, partial(mf, p), x, r)
+        lambda p, x, r: ddim_sample_loop(
+            dense, partial(mf, p), x, r, clip_denoised=clip
+        )
     )
     solvers = {}
+    skipped_budgets = []
     solvers[f"ddpm{base}"] = jax.jit(
-        lambda p, x, r: p_sample_loop(dense, partial(mf, p), x, r)
+        lambda p, x, r: p_sample_loop(
+            dense, partial(mf, p), x, r, clip_denoised=clip
+        )
     )
     for n in budgets:
-        if n < base:
-            if base % n == 0:  # ddimN needs an integer stride
-                sd = _sched(f"ddim{n}")
-                solvers[f"ddim{n}"] = jax.jit(
-                    lambda p, x, r, s=sd: ddim_sample_loop(
-                        s, partial(mf, p), x, r
-                    )
-                )
-            sp = _sched(f"dpm{n}")
-            solvers[f"dpm{n}"] = jax.jit(
-                lambda p, x, r, s=sp: dpm_solver_sample_loop(
-                    s, partial(mf, p), x
+        if n >= base:
+            # nothing to respace: the dense chain IS this budget
+            skipped_budgets.append(int(n))
+            continue
+        if base % n == 0:  # ddimN needs an integer stride
+            sd = _sched(f"ddim{n}")
+            solvers[f"ddim{n}"] = jax.jit(
+                lambda p, x, r, s=sd: ddim_sample_loop(
+                    s, partial(mf, p), x, r, clip_denoised=clip
                 )
             )
+        sp = _sched(f"dpm{n}")
+        solvers[f"dpm{n}"] = jax.jit(
+            lambda p, x, r, s=sp: dpm_solver_sample_loop(
+                s, partial(mf, p), x, clip_denoised=clip
+            )
+        )
 
     per = {name: {"cd": [], "iou": [], "empty": 0} for name in solvers}
     params = engine.unet_params
@@ -117,6 +131,10 @@ def solver_mesh_sweep(
         "seeds": done,
         "skipped_empty_ref": skipped,
     }
+    if skipped_budgets:
+        # budgets at/above the base chain have nothing to respace — name
+        # them instead of silently omitting their report keys
+        out["skipped_budgets_at_or_above_base"] = skipped_budgets
     for name, d in per.items():
         out[name] = {
             "cd_mean": round(float(np.mean(d["cd"])), 6) if d["cd"] else None,

@@ -94,3 +94,69 @@ def sample_sharded(
         out_shardings=batch_sharding,
     )
     return fn(x_T, rng_loop)
+
+
+def plan_data_mesh(batch_size: int):
+    """Largest data mesh whose device count divides ``batch_size``:
+    returns (mesh, usable_devices). Shared by every batch-generation
+    surface so sharding decisions can't drift between them."""
+    from ishapediting_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    usable = max(1, min(n_dev, batch_size))
+    while batch_size % usable:
+        usable -= 1
+    return make_mesh(usable), usable
+
+
+def sample_batches(
+    sched: Schedule,
+    params,
+    model_fn_p,
+    *,
+    num_samples: int,
+    batch_size: int,
+    latent_shape,
+    seed: int = 0,
+    sampler: str = "ddpm",
+    clip_denoised: bool = True,
+    mesh: Optional[Mesh] = None,
+    usable: Optional[int] = None,
+    on_batch: Optional[Callable[[int, int], None]] = None,
+):
+    """The ONE sharded batch-generation loop (used by ``cli.generate`` and
+    serve's ``generate`` command — reference loop: generate.py:72-84 +
+    image_sample.py:168-190). Batches of ``batch_size`` (partial final
+    batches rounded to a multiple of the device count when possible) are
+    sampled with ``PRNGKey(seed + batch_idx)`` and sharded over the data
+    mesh; returns the concatenated normalized latents
+    [num_samples, H, W, C] as a NumPy array. ``on_batch(batch_idx, done)``
+    fires after each batch for progress streaming."""
+    import numpy as np
+
+    from ishapediting_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh, usable = plan_data_mesh(batch_size)
+    samples = []
+    remaining, batch_idx = num_samples, 0
+    while remaining > 0:
+        n = min(batch_size, remaining) if remaining >= usable else remaining
+        n = max(n - n % usable, usable) if n >= usable else n
+        m = mesh if n % mesh.shape["data"] == 0 else make_mesh(1)
+        out = sample_sharded(
+            sched, None, m,
+            batch_size=n,
+            latent_shape=tuple(latent_shape),
+            rng=jax.random.PRNGKey(seed + batch_idx),
+            sampler=sampler,
+            clip_denoised=clip_denoised,
+            model_fn_p=model_fn_p,
+            params=params,
+        )
+        samples.append(np.asarray(out))
+        remaining -= n
+        batch_idx += 1
+        if on_batch is not None:
+            on_batch(batch_idx, num_samples - max(remaining, 0))
+    return np.concatenate(samples, axis=0)[:num_samples]
