@@ -155,8 +155,8 @@ def main(argv=None):
     if use_remat != engine.remat:
         print(f"remat={'on' if use_remat else 'off'} for the batched "
               f"programs ({n // data} shapes/device)")
-    mf = engine._model_fn_p(feat=True, remat=use_remat)
-    mf_plain = engine._model_fn_p(feat=False, remat=use_remat)
+    mf = engine.model_fn_p(feat=True, remat=use_remat)
+    mf_plain = engine.model_fn_p(feat=False, remat=use_remat)
     rng = jax.random.PRNGKey(args.seed)
 
     # --- latents: fit real meshes or sample from seeds -------------------

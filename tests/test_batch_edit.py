@@ -57,7 +57,7 @@ def test_batched_matches_per_shape(engine):
 
     stacked = stack_problems(problems)
     rng = jax.random.PRNGKey(0)
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     out = drag_edit_batched(
         engine.sched,
         model_fn_p,
@@ -124,7 +124,7 @@ def test_batched_fast_edit_matches_single_scan(engine):
     n_steps = len(positions)
 
     rng = jax.random.PRNGKey(7)
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     out = drag_edit_batched(
         sched_fast,
         model_fn_p,
@@ -175,7 +175,7 @@ def test_batched_fast_edit_rejects_recorded_noise(engine):
     sched_fast, positions = fast_edit_schedule(engine.sched, base, w_time, 3)
     with pytest.raises(ValueError, match="resample"):
         drag_edit_batched(
-            sched_fast, engine._model_fn_p(feat=True), engine.unet_params,
+            sched_fast, engine.model_fn_p(feat=True), engine.unet_params,
             jnp.zeros((1, 1, 16, 16, 6)),
             jnp.zeros((1, w_time, 3, 8, 8, 4)),
             stack_problems([
@@ -212,7 +212,7 @@ def test_batched_sharded_over_mesh(engine):
     mesh = make_mesh(8)
     out = drag_edit_batched(
         engine.sched,
-        engine._model_fn_p(feat=True),
+        engine.model_fn_p(feat=True),
         engine.unet_params,
         jnp.asarray(np.repeat(w[None], n, 0)),
         jnp.asarray(np.repeat(feats[None], n, 0)),
@@ -238,7 +238,7 @@ def test_batched_inversion_replay_identity(engine):
     latents = jax.random.uniform(
         jax.random.PRNGKey(5), (n, 16, 16, 6), jnp.float32, -1, 1
     )
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     inv = invert_batched(
         engine.sched,
         model_fn_p,
@@ -313,7 +313,7 @@ def test_batched_fixed_variance_mode(engine):
     latents = jax.random.uniform(
         jax.random.PRNGKey(8), (n, 16, 16, 6), jnp.float32, -1, 1
     )
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     inv = invert_batched(
         engine.sched,
         model_fn_p,
@@ -360,7 +360,7 @@ def test_batched_real_shape_fit(engine):
         grid_to_mesh((r - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32))
         for r in (0.5, 0.62)
     ]
-    mf = engine._model_fn_p(feat=False)
+    mf = engine.model_fn_p(feat=False)
     latents = fit_real_shapes_batched(
         engine.sched,
         mf,
@@ -412,7 +412,7 @@ def test_batched_per_shape_scale_cof(engine):
         )
 
     rng = jax.random.PRNGKey(7)
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     out = drag_edit_batched(
         engine.sched,
         model_fn_p,
@@ -446,7 +446,7 @@ def test_batched_w_time_out_of_range_raises(engine):
     engine on an over-long edit window (the silent failure mode is a
     clamped XLA gather — see core.schedule.validate_w_time)."""
     sched = engine.sched  # 10 respaced steps in TINY_PIPELINE
-    model_fn_p = engine._model_fn_p(feat=True)
+    model_fn_p = engine.model_fn_p(feat=True)
     rng = jax.random.PRNGKey(0)
     lat = jnp.zeros((2,) + TINY_PIPELINE.latent_shape)
     with pytest.raises(ValueError, match="w_time"):
